@@ -1,0 +1,75 @@
+"""S6 analog — per-tile manifest assembly + partitioned materialization.
+
+The reference writes per-tile PBF files by re-scanning the whole input
+once per batch of ≤ maxFiles open tiles (MapSplit.java:1156-1409).  In
+Spark the entire multi-scan machinery collapses into ONE shuffle: the
+exploded (element_id, tile) assignment DataFrame is aggregated by tile.
+
+Skew: dense "urban" tiles are exactly the hot keys the north rule calls
+out.  ``tile_manifests`` therefore aggregates in TWO phases — a salted
+partial ``collect_list`` (map-side width = n_salts per hot tile) and a
+small merge of the per-salt chunks — so no single reducer receives an
+entire hot tile's rows in one task.  With AQE on, Spark additionally
+splits stragglers at runtime; the salt makes the plan robust even where
+AQE's post-shuffle splitting can't help (single-key aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tile_manifests(assignments: DataFrame, zoom: int, n_salts: int = 8,
+                   id_col: str = "element_id") -> DataFrame:
+    """(element_id, tile_x, tile_y) → (zoom, tile_x, tile_y, element_ids sorted, n).
+
+    Golden-output shape per FIXTURES.md §5.  Duplicate (element, tile)
+    pairs are removed first — the engine's defined semantics
+    (SURVEY.md §2.7: distinct pairs, unlike the reference's unoptimized
+    duplicate-write quirk at AbstractOsmMap.java:102).
+    """
+    distinct = assignments.dropDuplicates([id_col, "tile_x", "tile_y"])
+    salted = distinct.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    )
+    partial = salted.groupBy("tile_x", "tile_y", "salt").agg(
+        F.collect_list(id_col).alias("chunk")
+    )
+    return (
+        partial.groupBy("tile_x", "tile_y")
+        .agg(F.array_sort(F.flatten(F.collect_list("chunk"))).alias("element_ids"))
+        .select(
+            F.lit(zoom).alias("zoom"),
+            "tile_x",
+            "tile_y",
+            "element_ids",
+            F.size("element_ids").cast("long").alias("n"),
+        )
+    )
+
+
+def tile_counts(assignments: DataFrame) -> DataFrame:
+    """A2 — per-tile element count histogram (MapSplit.java:867-883).
+    Pure partial-aggregating groupBy; feeds the optimize pass."""
+    return assignments.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n"))
+
+
+def write_tiles(df_with_payload: DataFrame, out_path: str, zoom: int,
+                n_buckets: int = 256) -> None:
+    """Materialize per-tile rows as parquet partitioned by tile.
+
+    For 100 TB: repartition by a bucketed tile key (not raw tile — a
+    planet at z13 has 67M tiles; raw partitionBy would create pathological
+    small-file counts), then partitionBy bucket dirs.  Iceberg hidden
+    partitioning replaces this on a real cluster.
+    """
+    (
+        df_with_payload
+        .withColumn("bucket", F.pmod(F.xxhash64("tile_x", "tile_y"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .sortWithinPartitions("tile_x", "tile_y")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )

@@ -1,0 +1,129 @@
+"""Single-source SQL formula generators for tile math.
+
+The driver's correctness gate runs our Spark queries AND a DuckDB oracle
+side-by-side; any float-formula drift between the two implementations
+would show up as a value-hash mismatch.  We eliminate that class of bug
+by construction: every tile-math formula is generated ONCE as portable
+ANSI-SQL text (functions common to Spark SQL and DuckDB: FLOOR, LN, TAN,
+COS, EXP, ATAN, RADIANS, DEGREES, PI, LEAST, GREATEST, CASE) and used
+verbatim by both engines — Spark via ``F.expr(...)``, DuckDB via string
+substitution into the oracle query.
+
+Formulas re-derive the reference semantics:
+* lon→tileX with clamping            MapSplit.java:194-204
+* lat→tileY (Mercator) with clamping MapSplit.java:211-221
+* tile→lon / tile→lat                MapSplit.java:173-186
+* border deltas                      MapSplit.java:360-382
+* neighbour bits / NW normalization  MapSplit.java:411-445
+"""
+
+from __future__ import annotations
+
+
+def lon2tx_sql(lon: str, zoom: int) -> str:
+    n = 1 << zoom
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {n}.0) AS BIGINT), 0), {n - 1})"
+    )
+
+
+def lat2ty_sql(lat: str, zoom: int) -> str:
+    # argument clamped to ±89.9 — same domain guard as tilemath.lat2ty
+    # (border probes can leave ±90°; clamping is flag-equivalent there)
+    n = 1 << zoom
+    c = f"LEAST(GREATEST({lat}, -89.9), 89.9)"
+    return (
+        "LEAST(GREATEST(CAST(FLOOR((1.0 - LN(TAN(RADIANS(" + c + ")) + 1.0 / COS(RADIANS("
+        + c + f"))) / PI()) / 2.0 * {n}.0) AS BIGINT), 0), {n - 1})"
+    )
+
+
+def tile2lon_sql(x: str, zoom: int) -> str:
+    return f"((({x}) / {float(2 ** zoom)!r}) * 360.0 - 180.0)"
+
+
+def tile2lat_sql(y: str, zoom: int) -> str:
+    inner = f"(PI() - 2.0 * PI() * ({y}) / {float(2 ** zoom)!r})"
+    return f"DEGREES(ATAN(0.5 * (EXP({inner}) - EXP(-{inner}))))"
+
+
+def delta_x_sql(zoom: int, border: float) -> str:
+    # tile2lon is linear in x, so the per-tile width is the constant
+    # 360/2^z and deltaX (MapSplit.java:360-370) reduces to a literal.
+    return f"{border!r} * (360.0 / {float(2 ** zoom)!r})"
+
+
+def delta_y_sql(ty: str, zoom: int, border: float) -> str:
+    # deltaY (MapSplit.java:372-382): border * (tile2lat(ty+1) - tile2lat(ty)) <= 0
+    return f"{border!r} * ({tile2lat_sql(f'({ty}) + 1', zoom)} - {tile2lat_sql(ty, zoom)})"
+
+
+def tile_id_sql(zoom: int, x: str, y: str) -> str:
+    """z<<32 | x<<16 | y — via arithmetic so it is dialect-portable."""
+    return f"(CAST({zoom} AS BIGINT) * 4294967296 + ({x}) * 65536 + ({y}))"
+
+
+def assign_cte_sql(src: str, id_col: str, lon: str, lat: str, zoom: int,
+                   border: float) -> str:
+    """Portable SQL producing (id, tile_x, tile_y, neighbour) — one row
+    per element, base tile NW-normalized, neighbour bits per
+    MapSplit.java:411-445.  ``src`` is a table name or subquery alias.
+    """
+    if border > 0:
+        return f"""
+SELECT element_id,
+       tx0 - (CASE WHEN NOT e AND w THEN 1 ELSE 0 END) AS tile_x,
+       ty0 - (CASE WHEN NOT s AND n THEN 1 ELSE 0 END) AS tile_y,
+       (CASE WHEN e OR w THEN 1 ELSE 0 END) + (CASE WHEN s OR n THEN 2 ELSE 0 END) AS neighbour
+FROM (
+  SELECT element_id, tx0, ty0,
+         {lon2tx_sql("lon0 + dx", zoom)} > tx0 AS e,
+         {lon2tx_sql("lon0 - dx", zoom)} < tx0 AS w,
+         {lat2ty_sql("lat0 + dy", zoom)} > ty0 AS s,
+         {lat2ty_sql("lat0 - dy", zoom)} < ty0 AS n
+  FROM (
+    SELECT element_id, lon0, lat0, tx0, ty0,
+           {delta_x_sql(zoom, border)} AS dx,
+           {delta_y_sql('ty0', zoom, border)} AS dy
+    FROM (
+      SELECT {id_col} AS element_id, {lon} AS lon0, {lat} AS lat0,
+             {lon2tx_sql(lon, zoom)} AS tx0, {lat2ty_sql(lat, zoom)} AS ty0
+      FROM {src}
+    ) base
+  ) with_delta
+) flags
+"""
+    return (
+        f"SELECT {id_col} AS element_id, {lon2tx_sql(lon, zoom)} AS tile_x, "
+        f"{lat2ty_sql(lat, zoom)} AS tile_y, 0 AS neighbour FROM {src}"
+    )
+
+
+def expand_union_sql(assign_sql: str) -> str:
+    """Expand (tile, neighbour) rows → distinct member tiles via UNION ALL
+    (AbstractOsmMap.java:106-114: E, S, and SE-iff-both)."""
+    return f"""
+WITH a AS ({assign_sql})
+SELECT element_id, tile_x, tile_y FROM a
+UNION ALL
+SELECT element_id, tile_x + 1, tile_y FROM a WHERE neighbour % 2 = 1
+UNION ALL
+SELECT element_id, tile_x, tile_y + 1 FROM a WHERE neighbour >= 2
+UNION ALL
+SELECT element_id, tile_x + 1, tile_y + 1 FROM a WHERE neighbour = 3
+"""
+
+
+# ------------------------------------------------------------------
+# deterministic geo derivation for the driver's TPC-H-ish test tables
+# (events/documents have no coordinates; derive them reproducibly from
+# the integer key so Spark and DuckDB agree exactly — integer math only)
+# ------------------------------------------------------------------
+
+def derived_lon_sql(key: str) -> str:
+    return f"(CAST((({key}) * 9973) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
+
+
+def derived_lat_sql(key: str) -> str:
+    # range ±85.05 — inside the Mercator domain, no clamping surprises
+    return f"(CAST((({key}) * 7919) % 170100 AS DOUBLE) / 1000.0 - 85.05)"
