@@ -1,38 +1,359 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data engine addition) run over the driver's parquet tables;
+``oracle_sql()`` returns the equivalent DuckDB SQL.  Tile-math formulas
+are generated ONCE by ``mapsplit_spark.sqlgen`` and used verbatim by
+both engines, so engine/oracle float parity holds by construction.
+
+The tables carry no coordinates, so each query derives a deterministic
+(lon, lat) from the integer key via integer-arithmetic SQL
+(sqlgen.derived_lon_sql/derived_lat_sql) — identical in both engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapsplit_spark import sqlgen  # noqa: E402
+from mapsplit_spark.operators.assign import (  # noqa: E402
+    assign_and_expand,
+    assign_tiles,
+)
+from mapsplit_spark.operators.knn import knn_bruteforce  # noqa: E402
+from mapsplit_spark.operators.propagate import (  # noqa: E402
+    backfill_member_tiles,
+    way_tiles,
+)
+from mapsplit_spark.operators.similarity import cosine_topk  # noqa: E402
+from mapsplit_spark.operators import textstats  # noqa: E402
+from mapsplit_spark.sinks.manifests import tile_counts, tile_manifests  # noqa: E402
+
+ZOOM = 13
+BORDER = 0.1
+WATERMARK = "2024-01-20 00:00:00"
+EMB_DIM = 64
+
+# derived geo keys (integer arithmetic — portable & exact)
+EV_LON = sqlgen.derived_lon_sql("event_id")
+EV_LAT = sqlgen.derived_lat_sql("event_id")
+LI_KEY = "(l_orderkey * 8 + l_linenumber)"
+NID = f"({LI_KEY} % 12000)"  # some ids miss the events table → drop semantics
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_points(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(EV_LON).alias("lon"),
+        F.expr(EV_LAT).alias("lat"),
+    )
+
+
+def _event_pairs(spark, sf_dir) -> DataFrame:
+    return assign_and_expand(_event_points(spark, sf_dir), "event_id", "lon", "lat", ZOOM, BORDER)
+
+
+def _events_nodes_cte() -> str:
+    assign = sqlgen.assign_cte_sql(
+        "(SELECT event_id, " + EV_LON + " AS lon, " + EV_LAT + " AS lat FROM events) ev",
+        "event_id", "lon", "lat", ZOOM, BORDER,
+    )
+    return sqlgen.expand_union_sql(assign)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_tile_assign(spark, sf_dir):
+    """P1 — base-tile projection with clamping (MapSplit.java:194-221)."""
+    return assign_tiles(_event_points(spark, sf_dir), "event_id", "lon", "lat", ZOOM).select(
+        "element_id", "tile_x", "tile_y"
+    )
+
+
+def q_tile_assign_border(spark, sf_dir):
+    """P2 — border/neighbour expansion (MapSplit.java:411-445)."""
+    return _event_pairs(spark, sf_dir)
+
+
+def q_tile_counts(spark, sf_dir):
+    """A2 — per-tile membership histogram (MapSplit.java:867-883)."""
+    return tile_counts(_event_pairs(spark, sf_dir))
+
+
+def q_tile_manifest(spark, sf_dir):
+    """S6 golden manifests — sorted id list per tile (joined as string
+    for portable value-hash comparison)."""
+    m = tile_manifests(_event_pairs(spark, sf_dir), ZOOM)
+    return m.select(
+        "zoom", "tile_x", "tile_y",
+        F.concat_ws(",", F.col("element_ids")).alias("ids"),
+        "n",
+    )
+
+
+def q_modified_tiles(spark, sf_dir):
+    """P3/A4 — incremental: tiles touched by elements newer than the
+    appointment date (MapSplit.java:435-437, 391-402)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") > F.lit(WATERMARK)).select(
+        "event_id", F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat")
+    )
+    return (
+        assign_and_expand(ev, "event_id", "lon", "lat", ZOOM, BORDER)
+        .select("tile_x", "tile_y").distinct()
+    )
+
+
+def q_latest_ts(spark, sf_dir):
+    """A3 — running max timestamp (MapSplit.java:440-442)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_bounds_union(spark, sf_dir):
+    """A6 — bounds union for output metadata (MapSplit.java:1283-1290)."""
+    return _event_points(spark, sf_dir).agg(
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+    )
+
+
+def q_session_tiles(spark, sf_dir):
+    """J1 + P5 — way tile-set union with drop-if-any-member-missing
+    (MapSplit.java:452-511).  Ways ≡ lineitem groups per orderkey,
+    member nodes ≡ events rows."""
+    members = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"), F.expr(NID).alias("member_id")
+    )
+    return way_tiles(members, _event_pairs(spark, sf_dir), "way_id", "member_id")
+
+
+def q_node_backfill(spark, sf_dir):
+    """J2 — members inherit their way's full tile set
+    (MapSplit.java:506-510); union with the nodes' own tiles."""
+    members = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"), F.expr(NID).alias("member_id")
+    )
+    node_tiles = _event_pairs(spark, sf_dir)
+    wt = way_tiles(members, node_tiles, "way_id", "member_id")
+    ok_members = members.join(
+        wt.select("way_id").distinct(), "way_id"
+    )
+    return backfill_member_tiles(ok_members, wt, node_tiles, "way_id", "member_id")
+
+
+def q_knn(spark, sf_dir):
+    """kNN lookup (north-star addition): 5 query points, top-5 events by
+    exact haversine, deterministic ties."""
+    qk = "(n_nationkey * 37 + 11)"
+    queries = _t(spark, sf_dir, "nation").filter("n_nationkey < 5").select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        F.expr(sqlgen.derived_lon_sql(qk)).alias("q_lon"),
+        F.expr(sqlgen.derived_lat_sql(qk)).alias("q_lat"),
+    )
+    points = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("point_id"),
+        F.expr(EV_LON).alias("p_lon"),
+        F.expr(EV_LAT).alias("p_lat"),
+    )
+    return knn_bruteforce(queries, points, k=5).withColumnRenamed("rank", "rnk")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting (training-data op)."""
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + length heuristics."""
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_profile(spark, sf_dir):
+    """Corpus language/source profile."""
+    return textstats.lang_source_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting / bag-of-words dedup groups."""
+    return textstats.fingerprint_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k similarity search."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec"))
+    return cosine_topk(queries, corpus, EMB_DIM, k=3).withColumnRenamed("rank", "rnk")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": q_tile_assign,
+        "tile_assign_border": q_tile_assign_border,
+        "tile_counts": q_tile_counts,
+        "tile_manifest": q_tile_manifest,
+        "modified_tiles": q_modified_tiles,
+        "latest_ts": q_latest_ts,
+        "bounds_union": q_bounds_union,
+        "session_tiles": q_session_tiles,
+        "node_backfill": q_node_backfill,
+        "knn": q_knn,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "lang_profile": q_lang_profile,
+        "doc_fingerprint": q_doc_fingerprint,
+        "emb_cosine_topk": q_emb_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+def _oracle_tile_assign() -> str:
+    a = sqlgen.assign_cte_sql(
+        "(SELECT event_id, " + EV_LON + " AS lon, " + EV_LAT + " AS lat FROM events) ev",
+        "event_id", "lon", "lat", ZOOM, 0.0,
+    )
+    return f"SELECT element_id, tile_x, tile_y FROM ({a}) z"
+
+
+def _oracle_session_cte() -> str:
+    return f"""
+WITH nodes AS ({_events_nodes_cte()}),
+members AS (
+  SELECT l_orderkey AS way_id, {NID} AS member_id FROM lineitem
+),
+node_ids AS (SELECT DISTINCT element_id FROM nodes),
+bad AS (
+  SELECT DISTINCT m.way_id FROM members m
+  LEFT JOIN node_ids n ON m.member_id = n.element_id
+  WHERE n.element_id IS NULL
+),
+ok AS (SELECT m.* FROM members m WHERE m.way_id NOT IN (SELECT way_id FROM bad)),
+wt AS (
+  SELECT DISTINCT o.way_id, n.tile_x, n.tile_y
+  FROM ok o JOIN nodes n ON o.member_id = n.element_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    nodes = _events_nodes_cte()
+    hav = sqlgen.haversine_sql("q_lat", "q_lon", "p_lat", "p_lon")
+    qk = "(n_nationkey * 37 + 11)"
+    dot_qc = sqlgen.dot_sql("q_vec", "c_vec", EMB_DIM, one_based=True)
+    dot_qq = sqlgen.dot_sql("q_vec", "q_vec", EMB_DIM, one_based=True)
+    dot_cc = sqlgen.dot_sql("c_vec", "c_vec", EMB_DIM, one_based=True)
+    toks = "string_split_regex(trim(text), '\\s+')"
+    padded = "(' ' || regexp_replace(trim(text), '\\s+', ' ', 'g') || ' ')"
+    n_stop = " + ".join(
+        f"(len(str_split({padded}, ' {w} ')) - 1)" for w in textstats.STOPWORDS
+    )
+    return {
+        "tile_assign": _oracle_tile_assign(),
+        "tile_assign_border": f"SELECT element_id, tile_x, tile_y FROM ({nodes}) z",
+        "tile_counts": (
+            f"SELECT tile_x, tile_y, count(*) AS n FROM ({nodes}) z GROUP BY 1, 2"
+        ),
+        "tile_manifest": f"""
+SELECT {ZOOM} AS zoom, tile_x, tile_y,
+       array_to_string(list_sort(list(DISTINCT element_id)), ',') AS ids,
+       count(DISTINCT element_id) AS n
+FROM ({nodes}) z GROUP BY tile_x, tile_y
+""",
+        "modified_tiles": f"""
+WITH pts AS (
+  SELECT event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+  WHERE ts > TIMESTAMP '{WATERMARK}'
+)
+SELECT DISTINCT tile_x, tile_y FROM (
+  {sqlgen.expand_union_sql(sqlgen.assign_cte_sql('pts', 'event_id', 'lon', 'lat', ZOOM, BORDER))}
+) z
+""",
+        "latest_ts": (
+            "SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts, "
+            "count(*) AS n_events FROM events"
+        ),
+        "bounds_union": f"""
+SELECT ROUND(min({EV_LON}), 6) AS min_lon, ROUND(max({EV_LON}), 6) AS max_lon,
+       ROUND(min({EV_LAT}), 6) AS min_lat, ROUND(max({EV_LAT}), 6) AS max_lat
+FROM events
+""",
+        "session_tiles": _oracle_session_cte() + "SELECT way_id, tile_x, tile_y FROM wt",
+        "node_backfill": _oracle_session_cte() + """
+SELECT DISTINCT element_id, tile_x, tile_y FROM (
+  SELECT o.member_id AS element_id, w.tile_x, w.tile_y
+  FROM ok o JOIN wt w ON o.way_id = w.way_id
+  UNION ALL
+  SELECT element_id, tile_x, tile_y FROM nodes
+) u
+""",
+        "knn": f"""
+WITH q AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         {sqlgen.derived_lon_sql(qk)} AS q_lon, {sqlgen.derived_lat_sql(qk)} AS q_lat
+  FROM nation WHERE n_nationkey < 5
+),
+p AS (SELECT event_id AS point_id, {EV_LON} AS p_lon, {EV_LAT} AS p_lat FROM events),
+d AS (SELECT query_id, point_id, ROUND({hav}, 6) AS dist_km FROM q CROSS JOIN p),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_km ASC, point_id ASC) AS rnk FROM d)
+SELECT query_id, rnk, point_id, dist_km FROM r WHERE rnk <= 5
+""",
+        "doc_token_stats": f"""
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars2,
+       ROUND(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+             / len({toks}), 4) AS avg_token_len
+FROM documents
+""",
+        "doc_quality": f"""
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       ROUND(CAST({n_stop} AS DOUBLE) / len({toks}), 4) AS stopword_ratio,
+       ROUND(LEAST(1.0, len({toks}) / 100.0)
+             * (1.0 - ROUND(CAST({n_stop} AS DOUBLE) / len({toks}), 4)), 4) AS quality
+FROM documents
+""",
+        "lang_profile": (
+            "SELECT lang, source, count(*) AS n_docs, ROUND(avg(n_chars), 4) AS avg_chars "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "doc_fingerprint": f"""
+SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fp,
+       count(*) AS n_docs, min(doc_id) AS min_doc
+FROM documents GROUP BY 1
+""",
+        "emb_cosine_topk": f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cid, embedding AS c_vec FROM embeddings),
+s AS (
+  SELECT qid, cid, ROUND(({dot_qc}) / (SQRT({dot_qq}) * SQRT({dot_cc})), 6) AS cos_sim
+  FROM q CROSS JOIN c WHERE qid <> cid
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rnk FROM s)
+SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 3
+""",
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full tiling pipeline (assign → border expand → salted
+    manifest aggregation) over sf0.001 events."""
+    return q_tile_manifest(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract + scaling protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+``value`` is the flagship tile-split pipeline wall time; the JSON also
+carries ``throughput_rows_per_sec`` (the BASELINE.json headline metric)
+and input row counts.  ``--scaling`` additionally runs the flagship at
+N and 4N cores on the same input and reports scaling efficiency
+T_4N / (4 · T_N) — the sandbox substitute for the two-cluster-size
+criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> int:
+    """Execute the full plan; cheap count via noop-free aggregation."""
+    return df.count()
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    import __spark_entry__ as entry
+
+    bench_set = [
+        "tile_manifest",        # flagship: assign → expand → salted manifests
+        "tile_assign_border",
+        "tile_counts",
+        "session_tiles",
+        "node_backfill",
+        "modified_tiles",
+        "knn",
+        "doc_token_stats",
+        "doc_fingerprint",
+        "emb_cosine_topk",
+    ]
+    qs = entry.queries()
+    times, rows = {}, {}
+    for name in bench_set:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        rows[name] = _force(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times, rows
+
+
+def flagship_time(cores: int, sf_dir: str, shuffle_parts: int) -> tuple[float, int]:
+    from mapsplit_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=shuffle_parts)
+    try:
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        # warm (JIT/codegen) — half-run on a limit slice
+        entry.q_tile_manifest(spark, sf_dir).limit(1).count()
+        t0 = time.perf_counter()
+        entry.q_tile_manifest(spark, sf_dir).count()
+        return time.perf_counter() - t0, n_events
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if "--scaling" in sys.argv:
+        low = max(1, cpus // 4)
+        t_low, n = flagship_time(low, sf_dir, shuffle_parts=2 * low)
+        t_high, _ = flagship_time(cpus, sf_dir, shuffle_parts=2 * cpus)
+        eff = (n / t_high) / (4 * (n / t_low))
+        print(json.dumps({
+            "metric": "scaling efficiency (N→4N cores, flagship tile-split)",
+            "value": round(eff, 3), "unit": "ratio",
+            "cores_low": low, "cores_high": cpus,
+            "throughput_low_rows_per_sec": round(n / t_low, 1),
+            "throughput_high_rows_per_sec": round(n / t_high, 1),
+            "t_low_sec": round(t_low, 3), "t_high_sec": round(t_high, 3),
+            "rows": n, "sf": sf,
+        }))
+        return
+
+    from mapsplit_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
+    try:
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        times, rows = run_queries(spark, sf_dir)
+    finally:
+        spark.stop()
+    total = round(sum(times.values()), 3)
+    flagship = times.get("tile_manifest", total)
+    print(json.dumps({
+        "metric": "tile-split pipeline wall time (flagship tile_manifest)",
+        "value": flagship,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "rows_in": n_events,
+        "throughput_rows_per_sec": round(n_events / flagship, 1) if flagship else None,
+        "total_sec": total,
+        "result_rows": rows,
+        "cores": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

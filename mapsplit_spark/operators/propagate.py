@@ -1,0 +1,108 @@
+"""J1-J6 — tile-set propagation along reference edges.
+
+The reference resolves way→node and relation→member references by
+hash-map lookups against the in-memory OsmMaps (MapSplit.java:452-511,
+:534-662, :772-831).  Spark-first re-expression: membership is a
+DataFrame of (group_id, member_id) edges and every lookup becomes a
+join against the exploded (element_id, tile_x, tile_y) assignment
+relation; set-union is ``distinct`` on normalized rows (no packed
+bitmaps — Tungsten columnar rows replace AbstractOsmMap's 64-bit codec).
+
+Scale notes: node_tiles is the big side (≈ input cardinality × small
+fan-out); membership edges shuffle-join on member_id.  Both sides are
+key-partitioned by the join key only — no driver collection; the
+fixed-point loop (relations) iterates a bounded number of small joins
+on the relation subset only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def drop_incomplete_groups(members: DataFrame, node_ids: DataFrame,
+                           group_col: str = "way_id",
+                           member_col: str = "member_id") -> DataFrame:
+    """P5 way semantics (MapSplit.java:468-473): a group with ANY member
+    missing from ``node_ids`` is dropped entirely.  Returns the surviving
+    membership edges.  node_ids: single-column DataFrame `element_id`."""
+    missing = (
+        members.join(node_ids, members[member_col] == node_ids["element_id"], "left_anti")
+        .select(group_col).distinct()
+    )
+    return members.join(missing, group_col, "left_anti")
+
+
+def way_tiles(members: DataFrame, node_tiles: DataFrame,
+              group_col: str = "way_id", member_col: str = "member_id",
+              drop_incomplete: bool = True) -> DataFrame:
+    """J1 — way tile set = union of member node tile sets
+    (MapSplit.java:462-502).  → distinct (group_col, tile_x, tile_y)."""
+    node_ids = node_tiles.select("element_id").distinct()
+    edges = (
+        drop_incomplete_groups(members, node_ids, group_col, member_col)
+        if drop_incomplete else members
+    )
+    return (
+        edges.join(node_tiles, edges[member_col] == node_tiles["element_id"])
+        .select(group_col, "tile_x", "tile_y")
+        .distinct()
+    )
+
+
+def backfill_member_tiles(members: DataFrame, group_tiles: DataFrame,
+                          node_tiles: DataFrame, group_col: str = "way_id",
+                          member_col: str = "member_id") -> DataFrame:
+    """J2 — every member inherits its group's full tile set
+    (MapSplit.java:506-510); result unioned with the nodes' own tiles.
+    → distinct (element_id, tile_x, tile_y) superset of node_tiles."""
+    inherited = (
+        members.join(group_tiles, group_col)
+        .select(F.col(member_col).alias("element_id"), "tile_x", "tile_y")
+    )
+    return node_tiles.select("element_id", "tile_x", "tile_y").union(inherited).distinct()
+
+
+def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
+                               group_col: str = "relation_id",
+                               member_col: str = "member_id",
+                               max_iters: int = 10) -> DataFrame:
+    """J3/J4 — relations may reference relations (forward/cyclic refs);
+    the reference retries unresolved ones until no progress
+    (postProcessRelations, MapSplit.java:772-790).
+
+    ``rel_members``: (relation_id, member_id) where member_id may be a
+    relation_id itself.  ``base_tiles``: (element_id, tile_x, tile_y)
+    for non-relation members already resolved.  Missing members are
+    skipped (left-join semantics, MapSplit.java:552-581); a relation
+    whose tile set stays empty is dropped (:625-628).
+
+    Driver-side loop, bounded by nesting depth ≤ ``max_iters`` — each
+    iteration is one shuffle join on the (small) relation edge set.
+    Converges monotonically (tile sets only grow) like the reference's
+    ``while postSize < preSize`` loop.
+    """
+    resolved = (
+        rel_members.join(
+            base_tiles, rel_members[member_col] == base_tiles["element_id"]
+        )
+        .select(F.col(group_col).alias("element_id"), "tile_x", "tile_y")
+        .distinct()
+    )
+    rel_edges = rel_members.select(
+        F.col(group_col).alias("dst"), F.col(member_col).alias("src")
+    )
+    for _ in range(max_iters):
+        step = (
+            rel_edges.join(resolved, rel_edges["src"] == resolved["element_id"])
+            .select(F.col("dst").alias("element_id"), "tile_x", "tile_y")
+            .union(resolved)
+            .distinct()
+            .localCheckpoint(eager=True)  # cut the growing lineage
+        )
+        if step.count() == resolved.count():
+            resolved = step
+            break
+        resolved = step
+    return resolved

@@ -1,0 +1,80 @@
+"""Similarity search over embedding columns (engine addition).
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query set,
+  unrolled fixed-dim dot product as a single codegen expression (no
+  Python UDF, deterministic left-to-right summation shared with the
+  DuckDB oracle via sqlgen.dot_sql), per-query top-k window.
+* ``lsh_bucket_topk`` — scale path: random-hyperplane (SimHash) bucket
+  join first, exact re-rank inside buckets.  At 100 TB the corpus side
+  is written bucketed by signature, so a query touches only its bucket
+  (+ optional multi-probe neighbours) instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import sqlgen
+
+
+def _norm_expr(col: str, dim: int) -> str:
+    return f"SQRT({sqlgen.dot_sql(col, col, dim, one_based=False)})"
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
+                id_q: str = "qid", id_c: str = "cid",
+                vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:
+    """→ (qid, rank, cid, cos_sim) — exact cosine top-k, self-matches
+    excluded, ties broken by cid for determinism."""
+    joined = F.broadcast(queries).crossJoin(corpus).filter(F.col(id_q) != F.col(id_c))
+    cos = F.expr(
+        f"{sqlgen.dot_sql(vec_q, vec_c, dim, one_based=False)} / "
+        f"({_norm_expr(vec_q, dim)} * {_norm_expr(vec_c, dim)})"
+    )
+    w = Window.partitionBy(id_q).orderBy(F.col("cos_sim").desc(), F.col(id_c).asc())
+    return (
+        joined.withColumn("cos_sim", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, "rank", id_c, "cos_sim")
+    )
+
+
+def simhash_signature(df: DataFrame, vec_col: str, dim: int, n_bits: int = 16,
+                      seed: int = 7) -> DataFrame:
+    """Append an LSH bucket id: sign pattern of ``n_bits`` fixed random
+    hyperplanes (deterministic seed).  Built-in-only: each bit is an
+    unrolled dot-product sign, packed with bit arithmetic."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bit_exprs = []
+    for b in range(n_bits):
+        terms = " + ".join(
+            f"CAST({vec_col}[{i}] AS DOUBLE) * {planes[b, i]!r}" for i in range(dim)
+        )
+        bit_exprs.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << b} ELSE 0 END)")
+    return df.withColumn("bucket", F.expr(" + ".join(bit_exprs)).cast("long"))
+
+
+def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
+                    n_bits: int = 12, id_q: str = "qid", id_c: str = "cid",
+                    vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:
+    """Approximate top-k: SimHash bucket equi-join + exact re-rank.
+    Recall < 1 by design; widen with fewer bits or multi-probe."""
+    qb = simhash_signature(queries, vec_q, dim, n_bits)
+    cb = simhash_signature(corpus, vec_c, dim, n_bits)
+    joined = qb.join(cb, "bucket").filter(F.col(id_q) != F.col(id_c))
+    cos = F.expr(
+        f"{sqlgen.dot_sql(vec_q, vec_c, dim, one_based=False)} / "
+        f"({_norm_expr(vec_q, dim)} * {_norm_expr(vec_c, dim)})"
+    )
+    w = Window.partitionBy(id_q).orderBy(F.col("cos_sim").desc(), F.col(id_c).asc())
+    return (
+        joined.withColumn("cos_sim", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, "rank", id_c, "cos_sim")
+    )

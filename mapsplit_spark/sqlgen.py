@@ -120,6 +120,32 @@ SELECT element_id, tile_x + 1, tile_y + 1 FROM a WHERE neighbour = 3
 # the integer key so Spark and DuckDB agree exactly — integer math only)
 # ------------------------------------------------------------------
 
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle distance in km (mean Earth radius 6371.0088).
+    Portable text — identical in Spark SQL and DuckDB, so both engines
+    evaluate the same expression tree."""
+    return (
+        "2.0 * 6371.0088 * ASIN(SQRT("
+        f"POWER(SIN(RADIANS(({lat2}) - ({lat1})) / 2.0), 2) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
+        f"POWER(SIN(RADIANS(({lon2}) - ({lon1})) / 2.0), 2)))"
+    )
+
+
+def dot_sql(a: str, b: str, dim: int, one_based: bool) -> str:
+    """Unrolled dot product of two fixed-dim float vectors with explicit
+    left-to-right summation order and double casts — deterministic and
+    identical across engines up to libm-free arithmetic.  ``one_based``
+    selects the indexing convention (DuckDB lists are 1-based, Spark
+    array subscripts 0-based)."""
+    off = 1 if one_based else 0
+    terms = [
+        f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+        for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def derived_lon_sql(key: str) -> str:
     return f"(CAST((({key}) * 9973) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
 
