@@ -173,6 +173,44 @@ def q_knn(spark, sf_dir):
     return knn_bruteforce(queries, points, k=5).withColumnRenamed("rank", "rnk")
 
 
+# CCW convex quadrilateral used by the oracle-checked clip query
+CLIP_QUAD = [(-50.0, -30.0), (40.0, -40.0), (60.0, 25.0), (-30.0, 35.0)]
+
+
+def q_clip_convex(spark, sf_dir):
+    """P7/P9 — point-in-polygon clip (convex half-plane form so the
+    oracle is pure SQL; general rings are pytest-verified in
+    operators/clip.py)."""
+    inside = _event_points(spark, sf_dir).filter(
+        F.expr(sqlgen.convex_pip_sql("lon", "lat", CLIP_QUAD))
+    )
+    return assign_tiles(inside, "event_id", "lon", "lat", ZOOM).select(
+        "element_id", "tile_x", "tile_y"
+    )
+
+
+def q_tile_merge(spark, sf_dir):
+    """§2.5 optimize — hierarchical tile merge (sequential order-dependent
+    walk per MapSplit.java:858-936; not SQL-expressible → rows-only gate,
+    exact semantics covered by pytest hand cases + oracle)."""
+    from mapsplit_spark.operators.optimize import merged_assignments
+
+    merged = merged_assignments(_event_pairs(spark, sf_dir), ZOOM, node_limit=5)
+    return (
+        merged.groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_session_holefill(spark, sf_dir):
+    """§2.6 hole-fill over session tile sets (flood fill not
+    SQL-expressible → rows-only gate; ring semantics pytest-verified)."""
+    from mapsplit_spark.operators.holefill import fill_holes
+
+    wt = q_session_tiles(spark, sf_dir).withColumnRenamed("way_id", "group_id")
+    return fill_holes(wt).withColumnRenamed("group_id", "way_id")
+
+
 def q_doc_token_stats(spark, sf_dir):
     """Token counting (training-data op)."""
     return textstats.token_stats(_t(spark, sf_dir, "documents"))
@@ -191,6 +229,31 @@ def q_lang_profile(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting / bag-of-words dedup groups."""
     return textstats.fingerprint_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_jaccard_pairs(spark, sf_dir):
+    """Exact trigram-Jaccard near-dup pairs (brute-force verification
+    path — the LSH candidate-generation scale path is pytest-verified in
+    operators/dedup.py; this oracle-checked variant proves the verify
+    stage's math)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    s = _t(spark, sf_dir, "documents").select(F.col("doc_id"), sh.alias("sh"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / uni, 6))
+        .filter(F.col("jaccard") >= 0.12)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def q_emb_cosine_topk(spark, sf_dir):
@@ -214,11 +277,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds_union": q_bounds_union,
         "session_tiles": q_session_tiles,
         "node_backfill": q_node_backfill,
+        "clip_convex": q_clip_convex,
+        "tile_merge": q_tile_merge,
+        "session_holefill": q_session_holefill,
         "knn": q_knn,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "lang_profile": q_lang_profile,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
     }
 
@@ -296,6 +363,21 @@ SELECT ROUND(min({EV_LON}), 6) AS min_lon, ROUND(max({EV_LON}), 6) AS max_lon,
 FROM events
 """,
         "session_tiles": _oracle_session_cte() + "SELECT way_id, tile_x, tile_y FROM wt",
+        "clip_convex": f"""
+WITH pts AS (
+  SELECT event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+inside AS (
+  SELECT * FROM pts WHERE {sqlgen.convex_pip_sql('lon', 'lat', CLIP_QUAD)}
+)
+SELECT element_id, tile_x, tile_y FROM (
+  {sqlgen.assign_cte_sql('inside', 'event_id', 'lon', 'lat', ZOOM, 0.0)}
+) z
+""",
+        # tile_merge / session_holefill: intentionally no oracle —
+        # sequential merge walk and flood fill are not SQL-expressible;
+        # the driver records the weaker rows-only check and pytest covers
+        # exact semantics against the pure-Python oracle.
         "node_backfill": _oracle_session_cte() + """
 SELECT DISTINCT element_id, tile_x, tile_y FROM (
   SELECT o.member_id AS element_id, w.tile_x, w.tile_y
@@ -339,6 +421,19 @@ FROM documents
 SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fp,
        count(*) AS n_docs, min(doc_id) AS min_doc
 FROM documents GROUP BY 1
+""",
+        "doc_jaccard_pairs": f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.12
 """,
         "emb_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS q_vec FROM embeddings WHERE vec_id < 20),

@@ -20,16 +20,21 @@ from .. import sqlgen
 
 
 def assign_tiles(df: DataFrame, id_col: str, lon_col: str, lat_col: str,
-                 zoom: int, border: float = 0.0) -> DataFrame:
-    """→ DataFrame(element_id, tile_x, tile_y, neighbour).
+                 zoom: int, border: float = 0.0,
+                 keep_cols: list[str] | None = None) -> DataFrame:
+    """→ DataFrame(element_id, tile_x, tile_y, neighbour[, *keep_cols]).
 
     One row per input element; ``(tile_x, tile_y)`` is the NW-most member
     tile and ``neighbour`` ∈ {0,1,2,3} encodes E/S/SE extra membership.
+    ``keep_cols`` pass through untouched (e.g. event-time for streaming —
+    avoids a stream-stream re-join).
     """
+    keep_cols = keep_cols or []
     base = df.select(
         F.col(id_col).alias("element_id"),
         F.expr(lon_col).cast("double").alias("lon0"),
         F.expr(lat_col).cast("double").alias("lat0"),
+        *keep_cols,
     ).withColumns({
         "tx0": F.expr(sqlgen.lon2tx_sql("lon0", zoom)),
         "ty0": F.expr(sqlgen.lat2ty_sql("lat0", zoom)),
@@ -40,6 +45,7 @@ def assign_tiles(df: DataFrame, id_col: str, lon_col: str, lat_col: str,
             F.col("tx0").alias("tile_x"),
             F.col("ty0").alias("tile_y"),
             F.lit(0).alias("neighbour"),
+            *keep_cols,
         )
     flags = base.withColumns({
         "dx": F.expr(sqlgen.delta_x_sql(zoom, border)),
@@ -58,10 +64,11 @@ def assign_tiles(df: DataFrame, id_col: str, lon_col: str, lat_col: str,
             F.when(F.col("e") | F.col("w"), 1).otherwise(0)
             + F.when(F.col("s") | F.col("n"), 2).otherwise(0)
         ).alias("neighbour"),
+        *keep_cols,
     )
 
 
-def expand_tiles(assigned: DataFrame) -> DataFrame:
+def expand_tiles(assigned: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
     """Explode (base tile, neighbour bits) → one row per member tile.
 
     → DataFrame(element_id, tile_x, tile_y), duplicate-free by
@@ -77,10 +84,12 @@ def expand_tiles(assigned: DataFrame) -> DataFrame:
         F.when(n >= 2, F.struct(x.alias("tile_x"), (y + 1).alias("tile_y"))),
         F.when(n == 3, F.struct((x + 1).alias("tile_x"), (y + 1).alias("tile_y"))),
     )
+    keep_cols = keep_cols or []
     return (
         assigned
-        .select("element_id", F.explode(F.array_compact(member)).alias("t"))
-        .select("element_id", F.col("t.tile_x").alias("tile_x"), F.col("t.tile_y").alias("tile_y"))
+        .select("element_id", F.explode(F.array_compact(member)).alias("t"), *keep_cols)
+        .select("element_id", F.col("t.tile_x").alias("tile_x"),
+                F.col("t.tile_y").alias("tile_y"), *keep_cols)
     )
 
 

@@ -1,0 +1,169 @@
+"""Deduplication suite for training-data pipelines (engine addition).
+
+All hot-path math uses built-in higher-order functions (JVM codegen,
+Arrow-free): shingling via sequence+transform, hashing via xxhash64,
+MinHash via array_min over affine-permuted hashes, SimHash via bitwise
+majority.  The LSH band join is the standard shingle→minhash→band→
+bucket-join construction (Broder 1997 / Leskovec-Rajaraman-Ullman ch.3).
+
+Scale notes: candidate generation is an equi-join on (band_idx, band
+hash) — shuffle-partitioned by band key, no cross join anywhere; exact
+verification runs only on bucket-colliding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps a·h + b within int64 (a, b, h < 2^31 → product < 2^62)
+MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on the raw text. → (text_hash, n_docs,
+    keep_doc) with n_docs ≥ 2 only."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _token_ngrams(text_col: str, n: int):
+    """Word n-gram shingles as an array column — built-ins only:
+    tokens → sequence(0, len-n) → transform(concat slice)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def with_shingle_hashes(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """→ (id, shingles: array<long>) — xxhash64 of each word n-gram."""
+    sh = _token_ngrams(text_col, ngram)
+    return docs.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+
+
+def _affine_params(num_hashes: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, num_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 32,
+                       id_col: str = "doc_id") -> DataFrame:
+    """→ (id, sig: array<long>) — sig[i] = min over shingles of the i-th
+    affine permutation (a_i·h + b_i mod p).  pmod keeps values positive."""
+    a, b = _affine_params(num_hashes)
+
+    def perm_min(ai: int, bi: int):
+        # single-arg lambda: a two-arg lambda would receive (element,
+        # index) from transform() and shadow the closed-over ints
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda h: F.pmod(ai * F.pmod(h, F.lit(MERSENNE_P)) + bi, F.lit(MERSENNE_P)),
+            )
+        )
+
+    mins = [perm_min(a[i], b[i]).alias(f"m{i}") for i in range(num_hashes)]
+    return shingled.select(F.col(id_col), F.array(*mins).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band hash are
+    candidates.  → distinct (id_a, id_b) with id_a < id_b."""
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.7,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only.
+    → (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", ngram: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.7) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → minhash → band
+    bucket join → exact Jaccard verification."""
+    shingled = with_shingle_hashes(docs, id_col, text_col, ngram)
+    sigs = minhash_signatures(shingled, num_hashes, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    return jaccard_verify(cands, shingled, threshold, id_col)
+
+
+def simhash_text(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n_bits: int = 32) -> DataFrame:
+    """Text SimHash: per-bit majority vote over token hashes — grouped
+    per document with aggregate() (JVM-side).  → (id, simhash)."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sum(b: int):
+        # two-arg lambda only — extra defaulted params would change the
+        # arity pyspark's lambda-inspection sees
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, b) % 2 != 0, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(b).alias(f"s{b}") for b in range(n_bits)]
+    tmp = docs.select(F.col(id_col), F.size(toks).alias("ntok"), *bit_sums)
+    sim = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return tmp.select(F.col(id_col), sim.cast("long").alias("simhash"))

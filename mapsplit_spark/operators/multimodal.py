@@ -1,0 +1,106 @@
+"""Multimodal (image) column operators — decode, feature-extract, resize,
+mosaic-ready normalization.
+
+Images travel as opaque ``binary`` columns with typed metadata (w, h,
+fmt) per BASELINE.json input_hint.  All operators are Arrow-batched
+``mapInPandas`` — the Spark-side plumbing (schemas, batch shapes,
+partition behavior) is real and tested; the pixel codec itself is the
+deterministic MSIM stub from ``mapsplit_spark.imaging`` because this
+container ships no libpng/libjpeg (swap ``imaging.encode/decode`` for
+PIL on a real cluster; every signature stays identical).
+
+Scale: decode stages select ONLY the columns they need (bytes stays out
+of every earlier stage per SURVEY.md §7.4-5), and batch size is
+controlled by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import imaging
+
+_FEAT_SCHEMA = (
+    "image_id string, w int, h int, fmt string, mean_r double, mean_g double, "
+    "mean_b double, brightness double, phash_check long"
+)
+
+
+def decode_features(images: DataFrame) -> DataFrame:
+    """Decode each payload and extract per-image pixel features.
+    → (image_id, w, h, fmt, mean_r, mean_g, mean_b, brightness,
+    phash_check).  phash_check re-derives the stored phash so pipelines
+    can assert payload integrity end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(bytes(r.bytes))
+                means = px.astype(np.float64).mean(axis=(0, 1))
+                out.append((
+                    r.image_id, int(r.w), int(r.h), r.fmt,
+                    round(float(means[0]), 4), round(float(means[1]), 4),
+                    round(float(means[2]), 4), round(float(means.mean()), 4),
+                    imaging.phash64(px),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
+                "brightness", "phash_check",
+            ])
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, _FEAT_SCHEMA)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbour resize of every payload (numpy index sampling —
+    codec-independent).  → (image_id, bytes, w, h, fmt) with new dims,
+    re-encoded lossless."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(bytes(r.bytes))
+                sy = (np.arange(out_h) * px.shape[0]) // out_h
+                sx = (np.arange(out_w) * px.shape[1]) // out_w
+                resized = px[sy][:, sx]
+                rows.append((r.image_id, imaging.encode_image(resized, "png"),
+                             out_w, out_h, "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def tile_mosaics(tile_images: DataFrame, cell: int = 16, grid: int = 8) -> DataFrame:
+    """Raster tile rendering: per-tile mosaic assembled from the member
+    images (north-star raster↔vector surface).  Input needs (tile_x,
+    tile_y, image_id, bytes); members are placed row-major in image_id
+    order (deterministic manifests → deterministic mosaics), each
+    nearest-neighbour-resized to ``cell``², at most ``grid``² members.
+    → (tile_x, tile_y, n_members, mosaic: binary png-stub)."""
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id").head(grid * grid)
+        canvas = np.zeros((cell * grid, cell * grid, 3), dtype=np.uint8)
+        for i, r in enumerate(pdf.itertuples(index=False)):
+            px = imaging.decode_image(bytes(r.bytes))
+            sy = (np.arange(cell) * px.shape[0]) // cell
+            sx = (np.arange(cell) * px.shape[1]) // cell
+            ry, rx = divmod(i, grid)
+            canvas[ry * cell:(ry + 1) * cell, rx * cell:(rx + 1) * cell] = px[sy][:, sx]
+        return pd.DataFrame({
+            "tile_x": [pdf["tile_x"].iloc[0]], "tile_y": [pdf["tile_y"].iloc[0]],
+            "n_members": [len(pdf)],
+            "mosaic": [imaging.encode_image(canvas, "png")],
+        })
+
+    return tile_images.groupBy("tile_x", "tile_y").applyInPandas(
+        assemble, "tile_x long, tile_y long, n_members long, mosaic binary"
+    )

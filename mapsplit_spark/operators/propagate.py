@@ -64,6 +64,38 @@ def backfill_member_tiles(members: DataFrame, group_tiles: DataFrame,
     return node_tiles.select("element_id", "tile_x", "tile_y").union(inherited).distinct()
 
 
+def complete_relation_propagation(rel_members: DataFrame, rel_tiles: DataFrame,
+                                  way_members: DataFrame,
+                                  node_tiles: DataFrame) -> DataFrame:
+    """J5/J6 — complete-relations mode (-c / -C with type=multipolygon):
+    every relation member inherits the relation's full tile set
+    (MapSplit.java:641-661), and nodes of relation-member WAYS inherit
+    those ways' augmented tile sets via the second pass
+    (addExtraWayToMap, MapSplit.java:519-527, driver :793-831).
+
+    rel_members: (relation_id, member_id); rel_tiles: (element_id ≡
+    relation_id, tile_x, tile_y); way_members: (way_id, member_id ≡ node
+    id); node_tiles: the exploded base assignment.  → augmented distinct
+    (element_id, tile_x, tile_y).
+    """
+    rt = rel_tiles.select(
+        F.col("element_id").alias("relation_id"), "tile_x", "tile_y"
+    )
+    inherit = rel_members.join(rt, "relation_id").select(
+        F.col("member_id").alias("element_id"), "tile_x", "tile_y"
+    )
+    # pass 2: member ways push their inherited tiles down to their nodes
+    way_aug = (
+        inherit.withColumnRenamed("element_id", "way_id")
+        .join(way_members, "way_id")
+        .select(F.col("member_id").alias("element_id"), "tile_x", "tile_y")
+    )
+    return (
+        node_tiles.select("element_id", "tile_x", "tile_y")
+        .union(inherit).union(way_aug).distinct()
+    )
+
+
 def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
                                group_col: str = "relation_id",
                                member_col: str = "member_id",

@@ -146,6 +146,23 @@ def dot_sql(a: str, b: str, dim: int, one_based: bool) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def convex_pip_sql(lon: str, lat: str, vertices: list[tuple[float, float]]) -> str:
+    """Point-in-convex-polygon as a pure-SQL conjunction of half-plane
+    tests (vertices in CCW order).  Used for the oracle-checkable clip
+    query; general even-odd ray casting for arbitrary rings lives in
+    operators/clip.py (numpy kernel, pytest-verified)."""
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        terms.append(
+            f"(({x2!r} - {x1!r}) * (({lat}) - {y1!r}) - "
+            f"({y2!r} - {y1!r}) * (({lon}) - {x1!r}) >= 0.0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
 def derived_lon_sql(key: str) -> str:
     return f"(CAST((({key}) * 9973) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
 

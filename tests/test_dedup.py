@@ -1,0 +1,77 @@
+"""Dedup suite tests — MinHash-LSH recall/precision on planted near-dups,
+exact dedup, SimHash locality, and an independent pure-Python Jaccard
+check of every surfaced pair."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapsplit_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_near_dups,
+    simhash_text,
+    with_shingle_hashes,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen green "
+    "parrots watch from a tall oak tree near the river bank in summer"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d0", BASE),
+        ("d1", BASE),  # exact dup of d0
+        ("d2", BASE.replace("summer", "winter")),        # near dup (1 token)
+        ("d3", BASE.replace("quick brown", "slow red")), # near dup (2 tokens)
+        ("d4", "completely different text about spark dataframes and shuffles "
+               "with partitions executors and adaptive query execution plans"),
+        ("d5", "yet another unrelated document mentioning tile pyramids mercator "
+               "projections zoom levels and slippy map coordinate conventions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(max(1, len(w) - n + 1))}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dup(docs):
+    got = exact_dup_groups(docs).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 2 and got[0].keep_doc == "d0"
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    rows = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    assert ("d0", "d1") in rows and rows[("d0", "d1")] == 1.0
+    assert ("d0", "d2") in rows or ("d1", "d2") in rows  # 1-token edit
+    # unrelated docs never pass exact verification
+    assert not any("d4" in p or "d5" in p for p in rows)
+    # every reported jaccard matches an independent python recomputation
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for (a, b), j in rows.items():
+        assert abs(_py_jaccard(texts[a], texts[b]) - j) < 1e-6
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("s", "two words")], "doc_id string, text string")
+    r = with_shingle_hashes(df).collect()[0]
+    assert len(r.shingles) == 1  # < n tokens → whole doc as one shingle
+
+
+def test_simhash_locality(docs):
+    sh = {r.doc_id: r.simhash for r in simhash_text(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert sh["d0"] == sh["d1"]
+    assert ham(sh["d0"], sh["d2"]) < ham(sh["d0"], sh["d4"])

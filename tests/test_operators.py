@@ -1,0 +1,188 @@
+"""M3/M5 operator tests — propagation, hole-fill, optimize merge.
+
+Scenario coverage ports the reference suite (SURVEY.md §5): way union +
+drop-if-missing (addWayToMap), back-propagation, relation fixed point
+with forward/cyclic refs (postProcessRelations), ring hole-fill
+(checkAndFill), sparse-tile merge (splitOptimizeSparseTiles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapsplit_spark import oracle
+from mapsplit_spark import tilemath as tm
+from mapsplit_spark.operators.holefill import fill_holes
+from mapsplit_spark.operators.optimize import compute_zoom_map, merged_assignments
+from mapsplit_spark.operators.propagate import (
+    backfill_member_tiles,
+    complete_relation_propagation,
+    relation_tiles_fixed_point,
+    way_tiles,
+)
+
+ZOOM = 13
+
+
+@pytest.fixture(scope="module")
+def node_tiles(spark):
+    # 12 points in a 4x3 tile grid around (100, 10) + border-crossing ones
+    pts = []
+    for i in range(12):
+        lon = float(tm.tile2lon(4000 + i % 4, ZOOM)) + 0.01
+        lat = float(tm.tile2lat(3000 + i // 4, ZOOM)) - 0.001
+        pts.append((f"n{i}", lon, lat))
+    df = spark.createDataFrame(pts, "element_id string, lon double, lat double")
+    from mapsplit_spark.operators.assign import assign_and_expand
+
+    return assign_and_expand(df, "element_id", "lon", "lat", ZOOM, 0.1), pts
+
+
+def test_way_union_and_drop(spark, node_tiles):
+    tiles_df, pts = node_tiles
+    members = spark.createDataFrame(
+        [("w0", "n0"), ("w0", "n1"), ("w0", "n5"),
+         ("w1", "n2"), ("w1", "MISSING"),  # w1 must be dropped entirely
+         ("w2", "n10"), ("w2", "n11")],
+        "way_id string, member_id string",
+    )
+    got = way_tiles(members, tiles_df, "way_id", "member_id").collect()
+    ways = {r.way_id for r in got}
+    assert ways == {"w0", "w2"}
+    # oracle comparison
+    pairs = {(r.element_id, r.tile_x, r.tile_y) for r in tiles_df.collect()}
+    expect_tiles, _ = oracle.session_tiles(
+        pairs, [("w0", ["n0", "n1", "n5"]), ("w1", ["n2", "MISSING"]), ("w2", ["n10", "n11"])]
+    )
+    got_map = {}
+    for r in got:
+        got_map.setdefault(r.way_id, set()).add((r.tile_x, r.tile_y))
+    assert {w: sorted(t) for w, t in got_map.items()} == expect_tiles
+
+
+def test_backfill_matches_oracle(spark, node_tiles):
+    tiles_df, _ = node_tiles
+    members = spark.createDataFrame(
+        [("w0", "n0"), ("w0", "n1"), ("w0", "n5")], "way_id string, member_id string"
+    )
+    wt = way_tiles(members, tiles_df, "way_id", "member_id")
+    got = {
+        (r.element_id, r.tile_x, r.tile_y)
+        for r in backfill_member_tiles(members, wt, tiles_df, "way_id", "member_id").collect()
+    }
+    pairs = {(r.element_id, r.tile_x, r.tile_y) for r in tiles_df.collect()}
+    _, extra = oracle.session_tiles(pairs, [("w0", ["n0", "n1", "n5"])])
+    assert got == pairs | extra
+
+
+def test_relation_fixed_point_with_cycle(spark, node_tiles):
+    tiles_df, _ = node_tiles
+    # r0 → n0; r1 → r0; r2 → r1 and r1 → r2 (cycle); r3 → missing only
+    rel = spark.createDataFrame(
+        [("r0", "n0"), ("r1", "r0"), ("r2", "r1"), ("r1", "r2"), ("r3", "nope")],
+        "relation_id string, member_id string",
+    )
+    got = relation_tiles_fixed_point(rel, tiles_df)
+    rows = got.filter(F.col("element_id").startswith("r")).collect()
+    by_rel = {}
+    for r in rows:
+        by_rel.setdefault(r.element_id, set()).add((r.tile_x, r.tile_y))
+    n0_tiles = {
+        (r.tile_x, r.tile_y) for r in tiles_df.filter("element_id = 'n0'").collect()
+    }
+    assert by_rel.get("r0") == n0_tiles
+    assert by_rel.get("r1") == n0_tiles  # inherited through r0
+    assert by_rel.get("r2") == n0_tiles  # through the cycle, converged
+    assert "r3" not in by_rel  # empty tile set → dropped (MapSplit.java:625-628)
+
+
+def test_complete_relations_down_propagation(spark, node_tiles):
+    tiles_df, _ = node_tiles
+    # relation rel0 spans tiles of n0 and n11; members: node n0 and way w0
+    rel_members = spark.createDataFrame(
+        [("rel0", "n0"), ("rel0", "w0")], "relation_id string, member_id string"
+    )
+    way_members = spark.createDataFrame(
+        [("w0", "n5"), ("w0", "n6")], "way_id string, member_id string"
+    )
+    rel_tiles = (
+        tiles_df.filter(F.col("element_id").isin("n0", "n11"))
+        .select(F.lit("rel0").alias("element_id"), "tile_x", "tile_y").distinct()
+    )
+    got = complete_relation_propagation(rel_members, rel_tiles, way_members, tiles_df)
+    by_id = {}
+    for r in got.collect():
+        by_id.setdefault(r.element_id, set()).add((r.tile_x, r.tile_y))
+    rel = {(r.tile_x, r.tile_y) for r in rel_tiles.collect()}
+    # every member (n0, w0) and every node of member-way w0 (n5, n6)
+    # carries the relation's full tile set on top of its own
+    for eid in ("n0", "w0", "n5", "n6"):
+        assert rel <= by_id[eid], eid
+    # untouched nodes keep only their own tiles
+    own = {(r.tile_x, r.tile_y) for r in tiles_df.filter("element_id='n3'").collect()}
+    assert by_id["n3"] == own
+
+
+def _ring_tiles():
+    """Square ring of tiles (perimeter of a 5x5 block) — 16 tiles ≥ 8,
+    enclosing a 3x3 hole."""
+    ring = []
+    for dx in range(5):
+        for dy in range(5):
+            if dx in (0, 4) or dy in (0, 4):
+                ring.append((1000 + dx, 2000 + dy))
+    return ring
+
+
+def test_holefill_matches_oracle(spark):
+    ring = _ring_tiles()
+    df = spark.createDataFrame(
+        [("g1", x, y) for x, y in ring], "group_id string, tile_x long, tile_y long"
+    )
+    got = {(r.tile_x, r.tile_y) for r in fill_holes(df).collect()}
+    holes = oracle.hole_fill(set(ring))
+    assert holes == {(1000 + dx, 2000 + dy) for dx in range(1, 4) for dy in range(1, 4)}
+    assert got == set(ring) | holes
+
+
+def test_holefill_skips_small_groups(spark):
+    df = spark.createDataFrame(
+        [("g2", 10, 10), ("g2", 12, 12)], "group_id string, tile_x long, tile_y long"
+    )
+    got = {(r.tile_x, r.tile_y) for r in fill_holes(df).collect()}
+    assert got == {(10, 10), (12, 12)}  # < 8 tiles → untouched
+
+
+def test_compute_zoom_map_hand_cases():
+    limit = 100
+    # case 1: 2x2 block total 110 ∈ (limit, 4·limit) → all merge to z-1
+    counts = {(10, 10): 50, (10, 11): 20, (11, 10): 20, (11, 11): 20}
+    zm = compute_zoom_map(counts, ZOOM, limit)
+    assert zm == {t: ZOOM - 1 for t in counts}
+    # case 2: block total ≥ 4·limit at d=1, no prior level → unmerged
+    counts = {(10, 10): 50, (10, 11): 400}
+    assert compute_zoom_map(counts, ZOOM, limit) == {}
+    # case 3: isolated sparse tile → merges at the deepest level z-4
+    counts = {(160, 160): 1}
+    assert compute_zoom_map(counts, ZOOM, limit) == {(160, 160): ZOOM - 4}
+    # case 4: tile at/above limit is left alone
+    counts = {(5, 5): 100}
+    assert compute_zoom_map(counts, ZOOM, limit) == {}
+
+
+def test_merged_assignments_rekey_and_dedupe(spark):
+    # two tiles in the same block, one element in both: totals stay below
+    # the limit at every level, so the walk accepts the DEEPEST level
+    # z−4 (MapSplit.java:896-899 "z == MAX_ZOOM_OUT_DIFF − 1"); both
+    # re-key to the same parent (x>>4, y>>4) and dedupe to one row each
+    rows = [("e1", 10, 10), ("e1", 11, 10), ("e2", 10, 10)]
+    df = spark.createDataFrame(rows, "element_id string, tile_x long, tile_y long")
+    out = merged_assignments(df, ZOOM, node_limit=100)
+    got = {(r.element_id, r.zoom, r.tile_x, r.tile_y) for r in out.collect()}
+    assert got == {("e1", ZOOM - 4, 0, 0), ("e2", ZOOM - 4, 0, 0)}
+    # with counts meeting the limit, nothing merges and duplicates stay distinct rows
+    big = merged_assignments(df, ZOOM, node_limit=1)
+    got2 = {(r.element_id, r.zoom, r.tile_x, r.tile_y) for r in big.collect()}
+    assert got2 == {("e1", ZOOM, 10, 10), ("e1", ZOOM, 11, 10), ("e2", ZOOM, 10, 10)}
