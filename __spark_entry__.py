@@ -94,7 +94,7 @@ def q_tile_counts(spark, sf_dir):
 def q_tile_manifest(spark, sf_dir):
     """S6 golden manifests — sorted id list per tile (joined as string
     for portable value-hash comparison)."""
-    m = tile_manifests(_event_pairs(spark, sf_dir), ZOOM)
+    m = tile_manifests(_event_pairs(spark, sf_dir), ZOOM, assume_distinct=True)
     return m.select(
         "zoom", "tile_x", "tile_y",
         F.concat_ws(",", F.col("element_ids")).alias("ids"),

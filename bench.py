@@ -51,12 +51,38 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     return times, rows
 
 
-def flagship_time(cores: int, sf_dir: str, shuffle_parts: int) -> tuple[float, int]:
+def _scaling_pipeline(spark, n_rows: int):
+    """Deterministic large input for the scaling protocol: spark.range →
+    derived geo (same sqlgen exprs as the gate queries) → full flagship
+    pipeline (assign + border expand + salted manifests).  Input is
+    identical at every parallelism level; sized so compute, not fixed
+    JVM/task overhead, dominates wall time."""
+    from pyspark.sql import functions as F
+    from mapsplit_spark import sqlgen
+    from mapsplit_spark.operators.assign import assign_and_expand
+    from mapsplit_spark.sinks.manifests import tile_manifests
+
+    pts = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        F.expr(sqlgen.derived_lon_sql("id")).alias("lon"),
+        F.expr(sqlgen.derived_lat_sql("id")).alias("lat"),
+    )
+    pairs = assign_and_expand(pts, "event_id", "lon", "lat", 13, 0.1)
+    return tile_manifests(pairs, 13, assume_distinct=True)
+
+
+def flagship_time(cores: int, sf_dir: str, shuffle_parts: int,
+                  scale_rows: int | None = None) -> tuple[float, int]:
     from mapsplit_spark.session import get_spark
     import __spark_entry__ as entry
 
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=shuffle_parts)
     try:
+        if scale_rows:
+            _scaling_pipeline(spark, 10_000).count()  # warm JIT/codegen
+            t0 = time.perf_counter()
+            _scaling_pipeline(spark, scale_rows).count()
+            return time.perf_counter() - t0, scale_rows
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         # warm (JIT/codegen) — half-run on a limit slice
         entry.q_tile_manifest(spark, sf_dir).limit(1).count()
@@ -74,9 +100,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     if "--scaling" in sys.argv:
+        # Same job, same deterministic input, two parallelism levels
+        # (BASELINE.md protocol).  Input is sized so compute dominates
+        # fixed JVM overhead — scaling on a 100k-row toy measures task
+        # dispatch, not the engine.
+        scale_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000"))
         low = max(1, cpus // 4)
-        t_low, n = flagship_time(low, sf_dir, shuffle_parts=2 * low)
-        t_high, _ = flagship_time(cpus, sf_dir, shuffle_parts=2 * cpus)
+        t_low, n = flagship_time(low, sf_dir, shuffle_parts=2 * low,
+                                 scale_rows=scale_rows)
+        t_high, _ = flagship_time(cpus, sf_dir, shuffle_parts=2 * cpus,
+                                  scale_rows=scale_rows)
         eff = (n / t_high) / (4 * (n / t_low))
         print(json.dumps({
             "metric": "scaling efficiency (N→4N cores, flagship tile-split)",

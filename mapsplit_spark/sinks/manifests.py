@@ -21,15 +21,21 @@ from pyspark.sql import functions as F
 
 
 def tile_manifests(assignments: DataFrame, zoom: int, n_salts: int = 8,
-                   id_col: str = "element_id") -> DataFrame:
+                   id_col: str = "element_id",
+                   assume_distinct: bool = False) -> DataFrame:
     """(element_id, tile_x, tile_y) → (zoom, tile_x, tile_y, element_ids sorted, n).
 
     Golden-output shape per FIXTURES.md §5.  Duplicate (element, tile)
     pairs are removed first — the engine's defined semantics
     (SURVEY.md §2.7: distinct pairs, unlike the reference's unoptimized
-    duplicate-write quirk at AbstractOsmMap.java:102).
+    duplicate-write quirk at AbstractOsmMap.java:102).  The point
+    pipeline's assign→expand output is duplicate-free by construction
+    (base/E/S/SE are distinct tiles) — pass ``assume_distinct=True``
+    there to skip the dedupe shuffle (1 of 3 exchanges, ~1/3 of shuffled
+    bytes); leave False after union-style propagation (J2/J5/J6).
     """
-    distinct = assignments.dropDuplicates([id_col, "tile_x", "tile_y"])
+    distinct = assignments if assume_distinct else \
+        assignments.dropDuplicates([id_col, "tile_x", "tile_y"])
     salted = distinct.withColumn(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
     )

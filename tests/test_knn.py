@@ -1,0 +1,60 @@
+"""kNN operator tests — tile-ring candidate path vs exact brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapsplit_spark import geo
+from mapsplit_spark.operators.knn import knn_bruteforce, knn_tiled
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    idx = np.arange(2000)
+    lat, lon = geo.geo(idx)
+    pts = spark.createDataFrame(
+        list(zip(idx.tolist(), lon.tolist(), lat.tolist())),
+        "point_id long, p_lon double, p_lat double",
+    )
+    qidx = np.arange(5)
+    qlat, qlon = geo.geo(qidx + 100000)
+    qs = spark.createDataFrame(
+        list(zip(qidx.tolist(), qlon.tolist(), qlat.tolist())),
+        "query_id long, q_lon double, q_lat double",
+    )
+    return qs, pts
+
+
+def test_bruteforce_deterministic_topk(data):
+    qs, pts = data
+    got = knn_bruteforce(qs, pts, k=3).collect()
+    assert len(got) == 15
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.dist_km))
+    for q, rows in by_q.items():
+        rows.sort()
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists)
+
+
+def test_tiled_matches_bruteforce_with_wide_ring(data):
+    qs, pts = data
+    # coarse zoom + wide ring → candidate set provably contains the true
+    # top-k (ring half-width at z4 ≈ 2500 km ≫ k-th neighbour distance)
+    exact = {(r.query_id, r.rank, r.point_id)
+             for r in knn_bruteforce(qs, pts, k=3).collect()}
+    tiled = {(r.query_id, r.rank, r.point_id)
+             for r in knn_tiled(qs, pts, zoom=4, ring=2, k=3).collect()}
+    assert tiled == exact
+
+
+def test_tiled_prunes_candidates(data):
+    qs, pts = data
+    out = knn_tiled(qs, pts, zoom=6, ring=1, k=3)
+    # still returns ranked rows per query (possibly fewer if a ring is
+    # sparse) and never duplicates a (query, point) pair
+    rows = out.collect()
+    seen = {(r.query_id, r.point_id) for r in rows}
+    assert len(seen) == len(rows)
