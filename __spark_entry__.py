@@ -400,6 +400,7 @@ SELECT query_id, rnk, point_id, dist_km FROM r WHERE rnk <= 5
         "doc_token_stats": f"""
 SELECT doc_id,
        CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{textstats.BPE_TOKEN_RE.replace(chr(39), chr(39) * 2)}')) AS BIGINT) AS n_tokens_bpe,
        CAST(length(text) AS BIGINT) AS n_chars2,
        ROUND(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
              / len({toks}), 4) AS avg_token_len

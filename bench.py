@@ -71,24 +71,33 @@ def _scaling_pipeline(spark, n_rows: int):
     return tile_manifests(pairs, 13, assume_distinct=True)
 
 
-def flagship_time(cores: int, sf_dir: str, shuffle_parts: int,
-                  scale_rows: int | None = None) -> tuple[float, int]:
-    from mapsplit_spark.session import get_spark
-    import __spark_entry__ as entry
+def cluster_flagship_time(n_execs: int, cores_per: int, rows: int) -> float:
+    """Flagship wall time on a local-cluster master — SEPARATE executor
+    JVMs, the honest sandbox analog of 'N executors' (single-JVM
+    local[N] thread scaling is capped by this VM — see BASELINE.md
+    'Why local-cluster').  Fixed per-executor resources; only the
+    executor count changes between the two levels."""
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=shuffle_parts)
+    total = n_execs * cores_per
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_execs},{cores_per},4096]")
+        .appName(f"bench-scaling-{n_execs}x{cores_per}")
+        .config("spark.sql.shuffle.partitions", str(2 * total))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.executor.memory", "3g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     try:
-        if scale_rows:
-            _scaling_pipeline(spark, 10_000).count()  # warm JIT/codegen
+        _scaling_pipeline(spark, rows // 20).count()  # warm JIT/codegen
+        best = float("inf")
+        for _ in range(2):
             t0 = time.perf_counter()
-            _scaling_pipeline(spark, scale_rows).count()
-            return time.perf_counter() - t0, scale_rows
-        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-        # warm (JIT/codegen) — half-run on a limit slice
-        entry.q_tile_manifest(spark, sf_dir).limit(1).count()
-        t0 = time.perf_counter()
-        entry.q_tile_manifest(spark, sf_dir).count()
-        return time.perf_counter() - t0, n_events
+            _scaling_pipeline(spark, rows).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
     finally:
         spark.stop()
 
@@ -100,21 +109,24 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     if "--scaling" in sys.argv:
-        # Same job, same deterministic input, two parallelism levels
-        # (BASELINE.md protocol).  Input is sized so compute dominates
-        # fixed JVM overhead — scaling on a 100k-row toy measures task
-        # dispatch, not the engine.
-        scale_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000"))
-        low = max(1, cpus // 4)
-        t_low, n = flagship_time(low, sf_dir, shuffle_parts=2 * low,
-                                 scale_rows=scale_rows)
-        t_high, _ = flagship_time(cpus, sf_dir, shuffle_parts=2 * cpus,
-                                  scale_rows=scale_rows)
+        # N vs 4N EXECUTORS (separate JVMs via local-cluster), same job,
+        # same deterministic input, fixed per-executor resources — the
+        # sandbox analog of the north rule's two cluster sizes.  Input
+        # sized so compute dominates fixed overhead (BASELINE.md).
+        # defaults: 1×2 → 4×2 executors — the 4N level stays within this
+        # VM's reliable JVM-thread budget (see BASELINE.md probes); scale
+        # up via env on real hardware
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"))
+        n_exec = int(os.environ.get("SPARK_GRAFT_EXECS", "1"))
+        cores_per = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+        t_low = cluster_flagship_time(n_exec, cores_per, n)
+        t_high = cluster_flagship_time(4 * n_exec, cores_per, n)
         eff = (n / t_high) / (4 * (n / t_low))
         print(json.dumps({
-            "metric": "scaling efficiency (N→4N cores, flagship tile-split)",
+            "metric": "scaling efficiency (N→4N executors, flagship tile-split)",
             "value": round(eff, 3), "unit": "ratio",
-            "cores_low": low, "cores_high": cpus,
+            "executors_low": f"{n_exec}x{cores_per}",
+            "executors_high": f"{4 * n_exec}x{cores_per}",
             "throughput_low_rows_per_sec": round(n / t_low, 1),
             "throughput_high_rows_per_sec": round(n / t_high, 1),
             "t_low_sec": round(t_low, 3), "t_high_sec": round(t_high, 3),

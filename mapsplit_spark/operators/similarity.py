@@ -13,8 +13,10 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 from .. import sqlgen
@@ -57,6 +59,79 @@ def simhash_signature(df: DataFrame, vec_col: str, dim: int, n_bits: int = 16,
         )
         bit_exprs.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << b} ELSE 0 END)")
     return df.withColumn("bucket", F.expr(" + ".join(bit_exprs)).cast("long"))
+
+
+def _kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8,
+                      seed: int = 11) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample (numpy
+    only — no sklearn in this container)."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), n_clusters, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(0)
+    return centroids
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray,
+               out_col: str = "ivf_cell") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell) — Arrow-
+    batched numpy matmul over broadcast centroids."""
+    c = centroids.astype(np.float64)
+    c_norm2 = (c ** 2).sum(1)
+
+    @F.pandas_udf(IntegerType())
+    def cell(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        d = -2.0 * (x @ c.T) + c_norm2[None, :]  # argmin over ||x-c||²
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return df.withColumn(out_col, cell(F.col(vec_col)))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
+             n_clusters: int = 16, n_probe: int = 4, sample_rows: int = 2000,
+             id_q: str = "qid", id_c: str = "cid",
+             vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into k-means cells; each
+    query probes its ``n_probe`` nearest cells and re-ranks exactly inside
+    them.  At 100 TB the corpus is written bucketed by ivf_cell, making
+    the probe join partition-pruned; the centroid model is a tiny
+    driver-side artifact (trained once on a sample, broadcast)."""
+    sample = np.stack([
+        np.asarray(r[vec_c], dtype=np.float64)
+        for r in corpus.select(vec_c).limit(sample_rows).collect()
+    ])
+    centroids = _kmeans_centroids(sample, n_clusters)
+    c = centroids
+    c_norm2 = (c ** 2).sum(1)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        d = -2.0 * (x @ c.T) + c_norm2[None, :]
+        order = d.argsort(1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    cb = ivf_assign(corpus, vec_c, centroids)
+    qb = queries.withColumn("ivf_cell", F.explode(probe_cells(F.col(vec_q))))
+    joined = F.broadcast(qb).join(cb, "ivf_cell").filter(F.col(id_q) != F.col(id_c))
+    cos = F.expr(
+        f"{sqlgen.dot_sql(vec_q, vec_c, dim, one_based=False)} / "
+        f"({_norm_expr(vec_q, dim)} * {_norm_expr(vec_c, dim)})"
+    )
+    w = Window.partitionBy(id_q).orderBy(F.col("cos_sim").desc(), F.col(id_c).asc())
+    return (
+        joined.withColumn("cos_sim", F.round(cos, 6))
+        .dropDuplicates([id_q, id_c])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, "rank", id_c, "cos_sim")
+    )
 
 
 def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,

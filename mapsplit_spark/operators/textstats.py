@@ -24,11 +24,53 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
+        bpe_token_count(text_col).cast("long").alias("n_tokens_bpe"),
         F.length(text_col).cast("long").alias("n_chars2"),
         F.round(
             (F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
              / F.size(toks)).cast("double"), 4
         ).alias("avg_token_len"),
+    )
+
+
+# BPE-ish surface tokenization: word pieces OR single non-space symbols.
+# Plain ASCII classes so Spark (Java regex) and DuckDB (RE2) agree.
+BPE_TOKEN_RE = r"[A-Za-z0-9']+|[^A-Za-z0-9\s]"
+
+# per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (tiny on purpose; a real pipeline swaps in fastText et al.)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "de": ["der", "und", "die", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "los", "que", "es", "una"],
+}
+
+
+def bpe_token_count(text_col: str):
+    """Column: number of BPE-ish surface tokens (regexp_extract_all —
+    same pattern text runs in the DuckDB oracle)."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: the language whose profile scores
+    the most hits wins (ties broken by profile order).  Built-ins only.
+    → (doc_id, pred_lang, score)."""
+    padded = F.concat(F.lit(" "), F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), F.lit(" "))
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        s = None
+        for wrd in words:
+            cnt = F.size(F.split(padded, f" {wrd} ")) - 1
+            s = cnt if s is None else (s + cnt)
+        scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))  # struct compare: score, then lang
+    return docs.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("long").alias("score"),
     )
 
 

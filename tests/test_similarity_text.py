@@ -1,0 +1,76 @@
+"""IVF ANN, LSH similarity, language-ID, BPE-ish token tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapsplit_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
+from mapsplit_spark.operators.textstats import bpe_token_count, lang_id
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    # 4 well-separated gaussian clusters → IVF cells align with structure
+    centers = rng.standard_normal((4, DIM)) * 10
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vid long, vec array<float>")
+
+
+def _topk_sets(df, id_q="qid"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r[0], set()).add(r[2])
+    return out
+
+
+def test_ivf_matches_exact_for_clustered_data(vectors):
+    qs = vectors.filter("vid < 8").select(
+        F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
+    cs = vectors.select(F.col("vid").alias("cid"), F.col("vec").alias("c_vec"))
+    exact = _topk_sets(cosine_topk(qs, cs, DIM, k=3))
+    approx = _topk_sets(ivf_topk(qs, cs, DIM, k=3, n_clusters=8, n_probe=4,
+                                 sample_rows=400))
+    # with 4 true clusters, 8 cells and 4 probes, recall should be perfect
+    assert approx == exact
+
+
+def test_lsh_recall_reasonable(vectors):
+    qs = vectors.filter("vid < 20").select(
+        F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
+    cs = vectors.select(F.col("vid").alias("cid"), F.col("vec").alias("c_vec"))
+    exact = _topk_sets(cosine_topk(qs, cs, DIM, k=3))
+    approx = _topk_sets(lsh_bucket_topk(qs, cs, DIM, k=3, n_bits=6))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total > 0.5  # approximate by design; recall must be sane
+
+
+def test_lang_id(spark):
+    rows = [
+        ("e", "the cat is in the hat and the dog is not"),
+        ("d", "der hund ist nicht in das haus und die katze"),
+        ("f", "le chat est dans la maison et les chiens"),
+        ("s", "el perro es una mascota que vive en la casa los gatos"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert got == {"e": "en", "d": "de", "f": "fr", "s": "es"}
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [("a", "don't panic, it's fine!"), ("b", "x+y=z")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
+    # don't | panic | , | it's | fine | !  → 6;  x | + | y | = | z → 5
+    assert got == {"a": 6, "b": 5}
