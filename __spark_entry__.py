@@ -148,8 +148,12 @@ def q_node_backfill(spark, sf_dir):
     members = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("way_id"), F.expr(NID).alias("member_id")
     )
-    node_tiles = _event_pairs(spark, sf_dir)
-    wt = way_tiles(members, node_tiles, "way_id", "member_id")
+    # reused subtrees are persisted — Spark does not reuse non-identical
+    # exchanges across branches, and at scale the assignment relation is
+    # the expensive side (the pipeline materializes it as a stage for the
+    # same reason)
+    node_tiles = _event_pairs(spark, sf_dir).persist()
+    wt = way_tiles(members, node_tiles, "way_id", "member_id").persist()
     ok_members = members.join(
         wt.select("way_id").distinct(), "way_id"
     )
@@ -256,6 +260,26 @@ def q_doc_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (training-data dedup op) —
+    brute-force verification path; the LSH/IVF candidate generation is
+    the pytest-verified scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.expr(
+        f"{sqlgen.dot_sql('va', 'vb', EMB_DIM, one_based=False)} / "
+        f"(SQRT({sqlgen.dot_sql('va', 'va', EMB_DIM, one_based=False)}) * "
+        f"SQRT({sqlgen.dot_sql('vb', 'vb', EMB_DIM, one_based=False)}))"
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-k similarity search."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -286,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q_lang_profile,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "emb_near_dup": q_emb_near_dup,
         "emb_cosine_topk": q_emb_cosine_topk,
     }
 
@@ -435,6 +460,18 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.12
+""",
+        "emb_near_dup": f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+SELECT id_a, id_b,
+       ROUND(({sqlgen.dot_sql('va', 'vb', EMB_DIM, one_based=True)}) /
+             (SQRT({sqlgen.dot_sql('va', 'va', EMB_DIM, one_based=True)}) *
+              SQRT({sqlgen.dot_sql('vb', 'vb', EMB_DIM, one_based=True)})), 6) AS cos_sim
+FROM a JOIN b ON id_a < id_b
+WHERE ROUND(({sqlgen.dot_sql('va', 'vb', EMB_DIM, one_based=True)}) /
+            (SQRT({sqlgen.dot_sql('va', 'va', EMB_DIM, one_based=True)}) *
+             SQRT({sqlgen.dot_sql('vb', 'vb', EMB_DIM, one_based=True)})), 6) >= 0.35
 """,
         "emb_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS q_vec FROM embeddings WHERE vec_id < 20),

@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lat-col", default="lat")
     p.add_argument("--payload", action="store_true",
                    help="materialize payload columns per tile (join bytes last)")
+    p.add_argument("--workdir", default=None,
+                   help="stage-checkpoint dir: enables kill/resume (pipeline.py)")
     return p
 
 
@@ -54,25 +56,40 @@ def main(argv=None) -> None:
     spark = get_spark("split-job")
     t0 = time.time()
     src = spark.read.parquet(args.input)
-    points = src.select(args.id_col, args.lon_col, args.lat_col)
-    pairs = assign_and_expand(points, args.id_col, args.lon_col, args.lat_col,
-                              args.zoom, args.border)
 
-    if args.poly:
-        outers, inners = load_rings(spark.read.parquet(args.poly), args.poly_id)
-        kept = clip_tiles(pairs.select("tile_x", "tile_y").distinct(),
-                          outers, inners, args.zoom)
-        pairs = clip_assignments(pairs, kept)
+    if args.workdir:
+        # checkpoint-resumable path: stages persist under --workdir and a
+        # re-run recomputes only unfinished stages (north_rule resume)
+        from mapsplit_spark.pipeline import TilingPipeline
 
-    if args.optimize > 0:
-        merged = merged_assignments(pairs, args.zoom, args.optimize)
-        manifests = (
-            merged.groupBy("zoom", "tile_x", "tile_y")
-            .agg(F.array_sort(F.collect_list("element_id")).alias("element_ids"),
-                 F.count("*").alias("n"))
+        pipe = TilingPipeline(
+            spark, args.workdir, zoom=args.zoom, border=args.border,
+            id_col=args.id_col, lon_col=args.lon_col, lat_col=args.lat_col,
+            poly_path=args.poly, poly_id=args.poly_id, node_limit=args.optimize,
         )
+        manifests = pipe.run(args.input)
+        pairs = spark.read.parquet(os.path.join(
+            args.workdir, "clip" if args.poly else "assign", "data"))
     else:
-        manifests = tile_manifests(pairs, args.zoom)
+        points = src.select(args.id_col, args.lon_col, args.lat_col)
+        pairs = assign_and_expand(points, args.id_col, args.lon_col, args.lat_col,
+                                  args.zoom, args.border)
+
+        if args.poly:
+            outers, inners = load_rings(spark.read.parquet(args.poly), args.poly_id)
+            kept = clip_tiles(pairs.select("tile_x", "tile_y").distinct(),
+                              outers, inners, args.zoom)
+            pairs = clip_assignments(pairs, kept)
+
+        if args.optimize > 0:
+            merged = merged_assignments(pairs, args.zoom, args.optimize)
+            manifests = (
+                merged.groupBy("zoom", "tile_x", "tile_y")
+                .agg(F.array_sort(F.collect_list("element_id")).alias("element_ids"),
+                     F.count("*").alias("n"))
+            )
+        else:
+            manifests = tile_manifests(pairs, args.zoom)
 
     manifests.write.mode("overwrite").parquet(os.path.join(args.output, "manifests"))
 

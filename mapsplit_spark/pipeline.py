@@ -75,16 +75,20 @@ def _write_stage(df: DataFrame, stage: str, stage_dir: str, cfg_hash: str,
 class TilingPipeline:
     """assign → [clip] → [optimize] → manifests, checkpointed per stage."""
 
-    STAGES = ("assign", "manifests")
+    STAGES = ("assign", "clip", "manifests")
 
     def __init__(self, spark: SparkSession, workdir: str, *, zoom: int = 13,
                  border: float = 0.1, id_col: str = "image_id",
-                 lon_col: str = "lon", lat_col: str = "lat"):
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 poly_path: str | None = None, poly_id: str | None = None,
+                 node_limit: int = 0):
         self.spark = spark
         self.workdir = workdir
         self.cfg = {
             "zoom": zoom, "border": border, "id_col": id_col,
             "lon_col": lon_col, "lat_col": lat_col,
+            "poly_path": poly_path, "poly_id": poly_id,
+            "node_limit": node_limit,
         }
         self.cfg_hash = _cfg_hash(self.cfg)
         os.makedirs(workdir, exist_ok=True)
@@ -94,6 +98,8 @@ class TilingPipeline:
 
     def run(self, input_path: str) -> DataFrame:
         """Execute (or resume) the pipeline; returns the manifest table."""
+        from pyspark.sql import functions as F
+
         lineage = {"input": input_path, "cfg": self.cfg}
         assign_dir = self._dir("assign")
         if not _stage_done(assign_dir, self.cfg_hash):
@@ -105,13 +111,39 @@ class TilingPipeline:
                 self.cfg["zoom"], self.cfg["border"],
             )
             _write_stage(pairs, "assign", assign_dir, self.cfg_hash, lineage)
+        last_dir = assign_dir
+
+        if self.cfg["poly_path"]:
+            from .operators.clip import clip_assignments, clip_tiles, load_rings
+
+            clip_dir = self._dir("clip")
+            if not _stage_done(clip_dir, self.cfg_hash):
+                pairs = self.spark.read.parquet(os.path.join(last_dir, "data"))
+                outers, inners = load_rings(
+                    self.spark.read.parquet(self.cfg["poly_path"]), self.cfg["poly_id"]
+                )
+                kept = clip_tiles(pairs.select("tile_x", "tile_y").distinct(),
+                                  outers, inners, self.cfg["zoom"])
+                _write_stage(clip_assignments(pairs, kept), "clip", clip_dir,
+                             self.cfg_hash, {**lineage, "upstream": last_dir})
+            last_dir = clip_dir
 
         man_dir = self._dir("manifests")
         if not _stage_done(man_dir, self.cfg_hash):
-            pairs = self.spark.read.parquet(os.path.join(assign_dir, "data"))
-            man = tile_manifests(pairs, self.cfg["zoom"])
+            pairs = self.spark.read.parquet(os.path.join(last_dir, "data"))
+            if self.cfg["node_limit"] > 0:
+                from .operators.optimize import merged_assignments
+
+                merged = merged_assignments(pairs, self.cfg["zoom"],
+                                            self.cfg["node_limit"])
+                man = merged.groupBy("zoom", "tile_x", "tile_y").agg(
+                    F.array_sort(F.collect_list("element_id")).alias("element_ids"),
+                    F.count("*").alias("n"),
+                )
+            else:
+                man = tile_manifests(pairs, self.cfg["zoom"], assume_distinct=True)
             _write_stage(man, "manifests", man_dir, self.cfg_hash,
-                         {**lineage, "upstream": assign_dir})
+                         {**lineage, "upstream": last_dir})
         return self.spark.read.parquet(os.path.join(man_dir, "data"))
 
     def metrics(self) -> DataFrame:
@@ -119,4 +151,4 @@ class TilingPipeline:
             os.path.join(self._dir(s), "metrics") for s in self.STAGES
             if os.path.exists(os.path.join(self._dir(s), "metrics"))
         ]
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "false").parquet(*paths)
