@@ -177,6 +177,24 @@ def q_knn(spark, sf_dir):
     return knn_bruteforce(queries, points, k=5).withColumnRenamed("rank", "rnk")
 
 
+def q_tile_bounds(spark, sf_dir):
+    """Bordered tile bbox (getBound, MapSplit.java:230-246): per distinct
+    modified tile, the border-expanded bbox clamped to world bounds —
+    the Bound row each tile file starts with (S6)."""
+    tiles = _event_pairs(spark, sf_dir).select("tile_x", "tile_y").distinct()
+    l = sqlgen.tile2lon_sql("tile_x", ZOOM)
+    r = sqlgen.tile2lon_sql("tile_x + 1", ZOOM)
+    t = sqlgen.tile2lat_sql("tile_y", ZOOM)
+    b = sqlgen.tile2lat_sql("tile_y + 1", ZOOM)
+    return tiles.select(
+        "tile_x", "tile_y",
+        F.round(F.expr(f"GREATEST({l} - {BORDER!r} * ({r} - {l}), -180.0)"), 9).alias("b_left"),
+        F.round(F.expr(f"LEAST({r} + {BORDER!r} * ({r} - {l}), 180.0)"), 9).alias("b_right"),
+        F.round(F.expr(f"LEAST({t} - {BORDER!r} * ({b} - {t}), 85.0511)"), 9).alias("b_top"),
+        F.round(F.expr(f"GREATEST({b} + {BORDER!r} * ({b} - {t}), -85.0511)"), 9).alias("b_bottom"),
+    )
+
+
 # CCW convex quadrilateral used by the oracle-checked clip query
 CLIP_QUAD = [(-50.0, -30.0), (40.0, -40.0), (60.0, 25.0), (-30.0, 35.0)]
 
@@ -228,6 +246,19 @@ def q_doc_quality(spark, sf_dir):
 def q_lang_profile(spark, sf_dir):
     """Corpus language/source profile."""
     return textstats.lang_source_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_exact_dup(spark, sf_dir):
+    """Exact dedup groups (hash-groupBy on raw text, n ≥ 2)."""
+    from mapsplit_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    """Stopword-profile language-ID heuristic (rows-only gate; exactness
+    covered by pytest on multilingual fixtures)."""
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -301,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds_union": q_bounds_union,
         "session_tiles": q_session_tiles,
         "node_backfill": q_node_backfill,
+        "tile_bounds": q_tile_bounds,
         "clip_convex": q_clip_convex,
         "tile_merge": q_tile_merge,
         "session_holefill": q_session_holefill,
@@ -308,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "lang_profile": q_lang_profile,
+        "doc_exact_dup": q_doc_exact_dup,
+        "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "emb_near_dup": q_emb_near_dup,
@@ -388,6 +422,15 @@ SELECT ROUND(min({EV_LON}), 6) AS min_lon, ROUND(max({EV_LON}), 6) AS max_lon,
 FROM events
 """,
         "session_tiles": _oracle_session_cte() + "SELECT way_id, tile_x, tile_y FROM wt",
+        "tile_bounds": f"""
+WITH tiles AS (SELECT DISTINCT tile_x, tile_y FROM ({nodes}) z)
+SELECT tile_x, tile_y,
+  ROUND(GREATEST({sqlgen.tile2lon_sql('tile_x', ZOOM)} - {BORDER!r} * ({sqlgen.tile2lon_sql('tile_x + 1', ZOOM)} - {sqlgen.tile2lon_sql('tile_x', ZOOM)}), -180.0), 9) AS b_left,
+  ROUND(LEAST({sqlgen.tile2lon_sql('tile_x + 1', ZOOM)} + {BORDER!r} * ({sqlgen.tile2lon_sql('tile_x + 1', ZOOM)} - {sqlgen.tile2lon_sql('tile_x', ZOOM)}), 180.0), 9) AS b_right,
+  ROUND(LEAST({sqlgen.tile2lat_sql('tile_y', ZOOM)} - {BORDER!r} * ({sqlgen.tile2lat_sql('tile_y + 1', ZOOM)} - {sqlgen.tile2lat_sql('tile_y', ZOOM)}), 85.0511), 9) AS b_top,
+  ROUND(GREATEST({sqlgen.tile2lat_sql('tile_y + 1', ZOOM)} + {BORDER!r} * ({sqlgen.tile2lat_sql('tile_y + 1', ZOOM)} - {sqlgen.tile2lat_sql('tile_y', ZOOM)}), -85.0511), 9) AS b_bottom
+FROM tiles
+""",
         "clip_convex": f"""
 WITH pts AS (
   SELECT event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
@@ -443,6 +486,12 @@ FROM documents
             "SELECT lang, source, count(*) AS n_docs, ROUND(avg(n_chars), 4) AS avg_chars "
             "FROM documents GROUP BY lang, source"
         ),
+        "doc_exact_dup": """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+""",
+        # doc_lang_id: rows-only (argmax-over-profiles is awkward SQL;
+        # pytest covers exact predictions on multilingual fixtures)
         "doc_fingerprint": f"""
 SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fp,
        count(*) AS n_docs, min(doc_id) AS min_doc

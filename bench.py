@@ -41,6 +41,9 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "emb_cosine_topk",
     ]
     qs = entry.queries()
+    # one warm pass primes JIT/codegen + parquet footer caches so the
+    # timings measure the engine, not first-query JVM warm-up
+    qs["tile_manifest"](spark, sf_dir).limit(1).count()
     times, rows = {}, {}
     for name in bench_set:
         if name not in qs:

@@ -39,11 +39,14 @@ def lat2ty_sql(lat: str, zoom: int) -> str:
 
 
 def tile2lon_sql(x: str, zoom: int) -> str:
-    return f"((({x}) / {float(2 ** zoom)!r}) * 360.0 - 180.0)"
+    # CAST to DOUBLE: Spark parses `8192.0` as DECIMAL and keeps
+    # BIGINT/DECIMAL division decimal, while DuckDB computes in double —
+    # forcing double on the operand removes the divergence class
+    return f"((CAST({x} AS DOUBLE) / {float(2 ** zoom)!r}) * 360.0 - 180.0)"
 
 
 def tile2lat_sql(y: str, zoom: int) -> str:
-    inner = f"(PI() - 2.0 * PI() * ({y}) / {float(2 ** zoom)!r})"
+    inner = f"(PI() - 2.0 * PI() * CAST({y} AS DOUBLE) / {float(2 ** zoom)!r})"
     return f"DEGREES(ATAN(0.5 * (EXP({inner}) - EXP(-{inner}))))"
 
 
