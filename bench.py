@@ -36,7 +36,10 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "node_backfill",
         "modified_tiles",
         "knn",
+        "clip_convex",
+        "tile_bounds",
         "doc_token_stats",
+        "doc_quality",
         "doc_fingerprint",
         "emb_cosine_topk",
     ]

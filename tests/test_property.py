@@ -1,0 +1,87 @@
+"""Property-based invariants (hypothesis) for the tile-math kernel and
+a hot-tile skew check for the salted manifest aggregation."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapsplit_spark import oracle
+from mapsplit_spark import tilemath as tm
+
+lons = st.floats(min_value=-185.0, max_value=185.0, allow_nan=False)
+lats = st.floats(min_value=-89.0, max_value=89.0, allow_nan=False)
+zooms = st.integers(min_value=0, max_value=16)
+borders = st.floats(min_value=0.0, max_value=0.49)
+
+
+@settings(max_examples=300, deadline=None)
+@given(lon=lons, lat=lats, zoom=zooms)
+def test_tile_indices_always_in_range(lon, lat, zoom):
+    n = 1 << zoom
+    tx = int(tm.lon2tx(lon, zoom))
+    ty = int(tm.lat2ty(lat, zoom))
+    assert 0 <= tx < n and 0 <= ty < n
+
+
+@settings(max_examples=300, deadline=None)
+@given(lon=lons, lat=lats, zoom=st.integers(min_value=1, max_value=16),
+       border=borders)
+def test_expansion_tiles_adjacent_and_contain_base(lon, lat, zoom, border):
+    tx, ty, nb = tm.assign(np.array([lon]), np.array([lat]), zoom, border)
+    _, xs, ys = tm.expand(tx, ty, nb)
+    tiles = set(zip(xs.tolist(), ys.tolist()))
+    assert 1 <= len(tiles) <= 4
+    # member tiles form a contiguous 2x2-at-most block around the base
+    assert all(t[0] - tx[0] in (0, 1) and t[1] - ty[0] in (0, 1) for t in tiles)
+    # without border, the base tile is exactly the clamped projection
+    if border == 0.0:
+        assert tiles == {(int(tm.lon2tx(lon, zoom)), int(tm.lat2ty(lat, zoom)))}
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=st.floats(min_value=-179.99, max_value=179.99, allow_nan=False),
+       lat=st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
+       zoom=st.integers(min_value=1, max_value=16), border=borders)
+def test_point_inside_every_member_tiles_bordered_bbox(lon, lat, zoom, border):
+    """The defining property of border expansion: the point lies within
+    the border-expanded bbox of every tile it is assigned to."""
+    tx, ty, nb = tm.assign(np.array([lon]), np.array([lat]), zoom, border)
+    _, xs, ys = tm.expand(tx, ty, nb)
+    eps = 1e-9
+    for x, y in zip(xs.tolist(), ys.tolist()):
+        left, right, top, bottom = tm.tile_bound(x, y, zoom, border)
+        assert left - eps <= lon <= right + eps
+        assert bottom - eps <= lat <= top + eps
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+               min_size=1, max_size=60))
+def test_holefill_oracle_invariants(tiles):
+    holes = oracle.hole_fill(tiles)
+    assert not (holes & tiles)  # holes are new tiles
+    if holes:
+        xs = [t[0] for t in tiles]
+        ys = [t[1] for t in tiles]
+        for hx, hy in holes:
+            assert min(xs) < hx < max(xs) or min(ys) < hy < max(ys)
+
+
+def test_salted_manifest_handles_hot_tile(spark):
+    """Worst-case skew: every element in ONE tile; the salted two-phase
+    aggregation must still produce one correct sorted manifest row."""
+    from mapsplit_spark.sinks.manifests import tile_manifests
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "concat('e', lpad(cast(id as string), 8, '0')) AS element_id",
+        "cast(500 as long) AS tile_x", "cast(600 as long) AS tile_y",
+    )
+    rows = tile_manifests(df, 13, n_salts=16, assume_distinct=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n == n
+    assert list(r.element_ids) == sorted(r.element_ids)
+    assert r.element_ids[0] == "e00000000" and r.element_ids[-1] == f"e{n-1:08d}"
