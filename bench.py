@@ -146,6 +146,13 @@ def main() -> None:
     try:
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         times, rows = run_queries(spark, sf_dir)
+        # at-scale datapoint: the toy sf input is overhead-dominated, so
+        # also time the identical flagship plan over a 20M-row
+        # deterministic input (same pipeline the scaling protocol uses)
+        scale_n = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROWS", "20000000"))
+        t0 = time.perf_counter()
+        _scaling_pipeline(spark, scale_n).count()
+        t_scale = time.perf_counter() - t0
     finally:
         spark.stop()
     total = round(sum(times.values()), 3)
@@ -158,6 +165,9 @@ def main() -> None:
         "sf": sf,
         "rows_in": n_events,
         "throughput_rows_per_sec": round(n_events / flagship, 1) if flagship else None,
+        "scale_rows": scale_n,
+        "scale_sec": round(t_scale, 3),
+        "scale_throughput_rows_per_sec": round(scale_n / t_scale, 1),
         "total_sec": total,
         "result_rows": rows,
         "cores": cpus,

@@ -35,6 +35,11 @@ def assign_tiles(df: DataFrame, id_col: str, lon_col: str, lat_col: str,
         F.expr(lon_col).cast("double").alias("lon0"),
         F.expr(lat_col).cast("double").alias("lat0"),
         *keep_cols,
+    ).where(
+        # rows without coordinates cannot be assigned (the reference's
+        # input format guarantees coords; parquet does not) — dropping
+        # beats emitting null tiles downstream
+        F.col("lon0").isNotNull() & F.col("lat0").isNotNull()
     ).withColumns({
         "tx0": F.expr(sqlgen.lon2tx_sql("lon0", zoom)),
         "ty0": F.expr(sqlgen.lat2ty_sql("lat0", zoom)),

@@ -1,0 +1,46 @@
+"""Materialization-layer scale behavior: bucketed tile writes prune at
+read time, and null-coordinate rows are dropped at assignment."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapsplit_spark.operators.assign import assign_and_expand, with_tile_id
+from mapsplit_spark.sinks.manifests import write_tiles
+
+OUT = "/tmp/prune_test_tiles"
+
+
+def test_bucketed_write_prunes_partitions(spark, images_dir):
+    shutil.rmtree(OUT, ignore_errors=True)
+    imgs = spark.read.parquet(f"{images_dir}/images.parquet")
+    pairs = assign_and_expand(
+        imgs.select("image_id", "lon", "lat"), "image_id", "lon", "lat", 13, 0.1
+    )
+    write_tiles(with_tile_id(pairs, 13), OUT, 13, n_buckets=16)
+    back = spark.read.parquet(OUT)
+    one = back.filter(F.col("bucket") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must prune at the partition level, not scan+filter
+    assert "PartitionFilters: [isnotnull(bucket" in plan.replace("#", "").replace(")", "") or \
+           "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters")[1][:80]
+    assert one.count() > 0
+    # a tile's rows are findable through its bucket (the k-ring read path)
+    r = back.first()
+    via_bucket = back.filter(
+        (F.col("bucket") == r.bucket) & (F.col("tile_x") == r.tile_x)
+        & (F.col("tile_y") == r.tile_y)
+    ).count()
+    assert via_bucket >= 1
+
+
+def test_null_coordinates_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0, 10.0), ("b", None, 10.0), ("c", 10.0, None)],
+        "id string, lon double, lat double",
+    )
+    out = assign_and_expand(df, "id", "lon", "lat", 13, 0.1)
+    assert {r.element_id for r in out.collect()} == {"a"}
