@@ -379,6 +379,29 @@ wt AS (
 """
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB mirror of textstats.lang_id: per-profile stopword split
+    counts, winner = max score with Spark's array_max-on-struct tie rule
+    (lexicographically LARGEST lang among ties)."""
+    padded = "(' ' || regexp_replace(trim(text), '\\s+', ' ', 'g') || ' ')"
+    score_exprs = {
+        lang: " + ".join(
+            f"(len(str_split({padded}, ' {w} ')) - 1)" for w in words
+        )
+        for lang, words in textstats.LANG_PROFILES.items()
+    }
+    selects = ", ".join(f"({e}) AS s_{lang}" for lang, e in score_exprs.items())
+    langs_desc = sorted(textstats.LANG_PROFILES, reverse=True)
+    m = "GREATEST(" + ", ".join(f"s_{lang}" for lang in textstats.LANG_PROFILES) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs_desc[:-1]
+    ) + f" ELSE '{langs_desc[-1]}' END"
+    return f"""
+WITH scored AS (SELECT doc_id, {selects} FROM documents)
+SELECT doc_id, {case} AS pred_lang, CAST({m} AS BIGINT) AS score FROM scored
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     nodes = _events_nodes_cte()
     hav = sqlgen.haversine_sql("q_lat", "q_lon", "p_lat", "p_lon")
@@ -442,10 +465,18 @@ SELECT element_id, tile_x, tile_y FROM (
   {sqlgen.assign_cte_sql('inside', 'event_id', 'lon', 'lat', ZOOM, 0.0)}
 ) z
 """,
-        # tile_merge / session_holefill: intentionally no oracle —
-        # sequential merge walk and flood fill are not SQL-expressible;
-        # the driver records the weaker rows-only check and pytest covers
-        # exact semantics against the pure-Python oracle.
+        # tile_merge: intentionally no oracle — the sequential,
+        # order-dependent merge walk (MapSplit.java:858-936) is not
+        # SQL-expressible; the driver records the weaker rows-only check
+        # and pytest covers exact semantics against hand-built cases.
+        #
+        # session_holefill: the flood fill itself is not SQL-expressible,
+        # but on THIS input (spatially scattered session tile sets) the
+        # expected hole set is empty, so the correct expected output
+        # equals the session tile union — which IS expressible.  Ring
+        # geometries (where fill adds tiles) are covered by pytest
+        # against the pure-Python oracle (tests/test_operators.py).
+        "session_holefill": _oracle_session_cte() + "SELECT way_id, tile_x, tile_y FROM wt",
         "node_backfill": _oracle_session_cte() + """
 SELECT DISTINCT element_id, tile_x, tile_y FROM (
   SELECT o.member_id AS element_id, w.tile_x, w.tile_y
@@ -490,8 +521,7 @@ FROM documents
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc
 FROM documents GROUP BY 1 HAVING count(*) >= 2
 """,
-        # doc_lang_id: rows-only (argmax-over-profiles is awkward SQL;
-        # pytest covers exact predictions on multilingual fixtures)
+        "doc_lang_id": _lang_id_oracle(),
         "doc_fingerprint": f"""
 SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fp,
        count(*) AS n_docs, min(doc_id) AS min_doc

@@ -45,15 +45,25 @@ def test_expansion_tiles_adjacent_and_contain_base(lon, lat, zoom, border):
        lat=st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
        zoom=st.integers(min_value=1, max_value=16), border=borders)
 def test_point_inside_every_member_tiles_bordered_bbox(lon, lat, zoom, border):
-    """The defining property of border expansion: the point lies within
-    the border-expanded bbox of every tile it is assigned to."""
+    """Border-expansion containment, with the reference's exact slack:
+    the E/W probes use the constant tile width (exact containment), but
+    the N/S probes use the POINT's tile height (deltaY,
+    MapSplit.java:372-382) — at high borders a point can be a member of
+    a Mercator-shorter neighbour tile whose own bordered bbox is
+    smaller, so the lat tolerance is border × the point-tile height.
+    (Found by hypothesis: lat=74, z=3, border=0.4375.)"""
     tx, ty, nb = tm.assign(np.array([lon]), np.array([lat]), zoom, border)
     _, xs, ys = tm.expand(tx, ty, nb)
     eps = 1e-9
+    own_ty = int(tm.lat2ty(lat, zoom))
+    own_h = abs(float(tm.tile2lat(own_ty, zoom)) - float(tm.tile2lat(own_ty + 1, zoom)))
+    lat_slack = border * own_h + eps
     for x, y in zip(xs.tolist(), ys.tolist()):
         left, right, top, bottom = tm.tile_bound(x, y, zoom, border)
-        assert left - eps <= lon <= right + eps
-        assert bottom - eps <= lat <= top + eps
+        assert left - eps <= lon <= right + eps  # X: exact containment
+        t0 = float(tm.tile2lat(y, zoom))
+        b0 = float(tm.tile2lat(y + 1, zoom))
+        assert b0 - lat_slack <= lat <= t0 + lat_slack
 
 
 @settings(max_examples=100, deadline=None)
