@@ -27,7 +27,7 @@ from mapsplit_spark.operators.assign import (  # noqa: E402
     assign_and_expand,
     assign_tiles,
 )
-from mapsplit_spark.operators.knn import knn_bruteforce  # noqa: E402
+from mapsplit_spark.operators.knn import knn_bruteforce, knn_tiled  # noqa: E402
 from mapsplit_spark.operators.propagate import (  # noqa: E402
     backfill_member_tiles,
     way_tiles,
@@ -175,6 +175,31 @@ def q_knn(spark, sf_dir):
         F.expr(EV_LAT).alias("p_lat"),
     )
     return knn_bruteforce(queries, points, k=5).withColumnRenamed("rank", "rnk")
+
+
+def _knn_inputs(spark, sf_dir):
+    qk = "(n_nationkey * 37 + 11)"
+    queries = _t(spark, sf_dir, "nation").filter("n_nationkey < 5").select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        F.expr(sqlgen.derived_lon_sql(qk)).alias("q_lon"),
+        F.expr(sqlgen.derived_lat_sql(qk)).alias("q_lat"),
+    )
+    points = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("point_id"),
+        F.expr(EV_LON).alias("p_lon"),
+        F.expr(EV_LAT).alias("p_lat"),
+    )
+    return queries, points
+
+
+def q_knn_tiled(spark, sf_dir):
+    """kNN scale path: tile-ring (H3 k-ring analog) candidate generation
+    + exact haversine re-rank.  At z4/ring2 the ring half-width
+    (~2500 km) provably exceeds the 5th-neighbour distance at this
+    density, so the result equals exact brute force — the oracle is the
+    same exact-kNN SQL."""
+    queries, points = _knn_inputs(spark, sf_dir)
+    return knn_tiled(queries, points, zoom=4, ring=2, k=5).withColumnRenamed("rank", "rnk")
 
 
 def q_tile_bounds(spark, sf_dir):
@@ -337,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_merge": q_tile_merge,
         "session_holefill": q_session_holefill,
         "knn": q_knn,
+        "knn_tiled": q_knn_tiled,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "lang_profile": q_lang_profile,
@@ -414,7 +440,7 @@ def oracle_sql() -> dict[str, str]:
     n_stop = " + ".join(
         f"(len(str_split({padded}, ' {w} ')) - 1)" for w in textstats.STOPWORDS
     )
-    return {
+    oracles = {
         "tile_assign": _oracle_tile_assign(),
         "tile_assign_border": f"SELECT element_id, tile_x, tile_y FROM ({nodes}) z",
         "tile_counts": (
@@ -563,6 +589,10 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid A
 SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 3
 """,
     }
+    # the tile-ring kNN provably covers the exact top-k at z4/ring2 for
+    # this density, so its oracle is the exact-kNN SQL itself
+    oracles["knn_tiled"] = oracles["knn"]
+    return oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:

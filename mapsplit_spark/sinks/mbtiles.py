@@ -22,10 +22,12 @@ import time
 from pyspark.sql import DataFrame
 
 FORMAT = "application/json"  # manifest payload (reference uses OSM PBF)
+RASTER_FORMAT = "image/x-msim"  # mosaic blobs from the stub codec
 
 
-def export_mbtiles(spark, manifests: DataFrame, path: str, zoom: int,
-                   latest_date_ms: int | None = None) -> None:
+def _write_sqlite(path: str, tile_rows, fmt: str, zooms: set,
+                  fallback_zoom: int, latest_date_ms: int | None,
+                  description: str) -> None:
     if os.path.exists(path):
         os.remove(path)
     conn = sqlite3.connect(path)
@@ -40,24 +42,15 @@ def export_mbtiles(spark, manifests: DataFrame, path: str, zoom: int,
             "CREATE UNIQUE INDEX tile_index ON tiles "
             "(zoom_level, tile_column, tile_row)"
         )
-        rows = manifests.collect()
-        zooms = set()
-        for r in rows:
-            z = r.zoom if "zoom" in manifests.columns else zoom
-            zooms.add(z)
-            tms_y = (1 << z) - r.tile_y - 1  # TMS flip, MapSplit.java:1359-1364
-            blob = json.dumps(
-                {"ids": list(r.element_ids), "n": r.n}, separators=(",", ":")
-            ).encode()
-            cur.execute("INSERT INTO tiles VALUES (?,?,?,?)", (z, r.tile_x, tms_y, blob))
+        cur.executemany("INSERT INTO tiles VALUES (?,?,?,?)", tile_rows)
         meta = {
             "name": "mapsplit_spark",
             "type": "baselayer",
             "version": "1",
-            "description": "tile manifests from mapsplit_spark",
-            "format": FORMAT,
-            "minzoom": str(min(zooms) if zooms else zoom),
-            "maxzoom": str(max(zooms) if zooms else zoom),
+            "description": description,
+            "format": fmt,
+            "minzoom": str(min(zooms) if zooms else fallback_zoom),
+            "maxzoom": str(max(zooms) if zooms else fallback_zoom),
             "latest_date": str(latest_date_ms if latest_date_ms is not None
                                else int(time.time() * 1000)),
         }
@@ -65,3 +58,34 @@ def export_mbtiles(spark, manifests: DataFrame, path: str, zoom: int,
         conn.commit()
     finally:
         conn.close()
+
+
+def export_mbtiles(spark, manifests: DataFrame, path: str, zoom: int,
+                   latest_date_ms: int | None = None) -> None:
+    """Vector path: per-tile manifest JSON blobs."""
+    rows = manifests.collect()
+    zooms, out = set(), []
+    for r in rows:
+        z = r.zoom if "zoom" in manifests.columns else zoom
+        zooms.add(z)
+        tms_y = (1 << z) - r.tile_y - 1  # TMS flip, MapSplit.java:1359-1364
+        blob = json.dumps(
+            {"ids": list(r.element_ids), "n": r.n}, separators=(",", ":")
+        ).encode()
+        out.append((z, r.tile_x, tms_y, blob))
+    _write_sqlite(path, out, FORMAT, zooms, zoom, latest_date_ms,
+                  "tile manifests from mapsplit_spark")
+
+
+def export_raster_mbtiles(spark, mosaics: DataFrame, path: str, zoom: int,
+                          latest_date_ms: int | None = None) -> None:
+    """Raster path: per-tile mosaic image blobs (operators/multimodal.
+    tile_mosaics) — the raster side of the north star's raster↔vector
+    tile rendering.  Same TMS flip + metadata layout."""
+    rows = mosaics.collect()
+    out = [
+        (zoom, r.tile_x, (1 << zoom) - r.tile_y - 1, bytes(r.mosaic))
+        for r in rows
+    ]
+    _write_sqlite(path, out, RASTER_FORMAT, {zoom}, zoom, latest_date_ms,
+                  "raster tile mosaics from mapsplit_spark")

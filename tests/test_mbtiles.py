@@ -1,0 +1,63 @@
+"""MBTiles sinks — vector (manifest JSON) and raster (mosaic blobs):
+TMS y-flip, metadata rows, blob round trips."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from mapsplit_spark import imaging
+from mapsplit_spark.operators.assign import assign_and_expand
+from mapsplit_spark.operators.multimodal import tile_mosaics
+from mapsplit_spark.sinks.manifests import tile_manifests
+from mapsplit_spark.sinks.mbtiles import export_mbtiles, export_raster_mbtiles
+
+ZOOM = 6
+
+
+@pytest.fixture(scope="module")
+def pairs(spark, images_dir):
+    imgs = spark.read.parquet(f"{images_dir}/images.parquet")
+    return imgs, assign_and_expand(
+        imgs.select("image_id", "lon", "lat"), "image_id", "lon", "lat", ZOOM, 0.0
+    )
+
+
+def test_vector_mbtiles_tms_flip(spark, pairs, tmp_path):
+    _, p = pairs
+    man = tile_manifests(p, ZOOM, assume_distinct=True)
+    path = str(tmp_path / "v.mbtiles")
+    export_mbtiles(spark, man, path, ZOOM)
+    conn = sqlite3.connect(path)
+    meta = dict(conn.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["format"] == "application/json"
+    assert meta["minzoom"] == meta["maxzoom"] == str(ZOOM)
+    expect = {(r.tile_x, r.tile_y): list(r.element_ids) for r in man.collect()}
+    got = {}
+    for z, x, tms_y, blob in conn.execute("SELECT * FROM tiles"):
+        assert z == ZOOM
+        y = (1 << z) - tms_y - 1  # undo the TMS flip (MapSplit.java:1359-1364)
+        got[(x, y)] = json.loads(blob)["ids"]
+    assert got == expect
+
+
+def test_raster_mbtiles_mosaics_decode(spark, pairs, tmp_path):
+    imgs, p = pairs
+    tile_imgs = p.join(imgs.select("image_id", "bytes"),
+                       p.element_id == imgs.image_id).select(
+        "tile_x", "tile_y", "image_id", "bytes"
+    )
+    mosaics = tile_mosaics(tile_imgs, cell=8, grid=4)
+    path = str(tmp_path / "r.mbtiles")
+    export_raster_mbtiles(spark, mosaics, path, ZOOM)
+    conn = sqlite3.connect(path)
+    meta = dict(conn.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["format"] == "image/x-msim"
+    n = 0
+    for z, x, tms_y, blob in conn.execute("SELECT * FROM tiles"):
+        px = imaging.decode_image(bytes(blob))
+        assert px.shape == (32, 32, 3)  # cell 8 × grid 4
+        n += 1
+    assert n == mosaics.count() > 0
