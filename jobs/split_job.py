@@ -38,7 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimize", type=int, default=0, metavar="NODE_LIMIT")
     p.add_argument("--poly", help="clip_polygons parquet")
     p.add_argument("--poly-id", default=None)
-    p.add_argument("--mbtiles", help="also export an MBTiles file")
+    p.add_argument("--mbtiles", help="also export an MBTiles file (manifest blobs)")
+    p.add_argument("--raster-mbtiles",
+                   help="also export raster MBTiles (per-tile mosaics from bytes)")
     p.add_argument("--id-col", default="image_id")
     p.add_argument("--lon-col", default="lon")
     p.add_argument("--lat-col", default="lat")
@@ -103,6 +105,15 @@ def main(argv=None) -> None:
         from mapsplit_spark.sinks.mbtiles import export_mbtiles
 
         export_mbtiles(spark, manifests, args.mbtiles, args.zoom)
+
+    if args.raster_mbtiles:
+        from mapsplit_spark.operators.multimodal import tile_mosaics
+        from mapsplit_spark.sinks.mbtiles import export_raster_mbtiles
+
+        tile_imgs = pairs.join(
+            src.select(args.id_col, "bytes"), pairs["element_id"] == src[args.id_col]
+        ).select("tile_x", "tile_y", F.col("element_id").alias("image_id"), "bytes")
+        export_raster_mbtiles(spark, tile_mosaics(tile_imgs), args.raster_mbtiles, args.zoom)
 
     m = spark.read.parquet(os.path.join(args.output, "manifests"))
     print(json.dumps({
