@@ -19,7 +19,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import geo, imaging
-from . import tilemath as tm
 
 _SIZES = np.array([16, 32, 64])
 _WORDS = np.array([

@@ -4,9 +4,7 @@ clipping and present without it)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from mapsplit_spark import oracle
 from mapsplit_spark import tilemath as tm

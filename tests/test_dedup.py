@@ -5,7 +5,6 @@ check of every surfaced pair."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from mapsplit_spark.operators.dedup import (
     exact_dup_groups,

@@ -8,7 +8,6 @@ with forward/cyclic refs (postProcessRelations), ring hole-fill
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 

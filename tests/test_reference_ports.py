@@ -10,7 +10,6 @@ covered elsewhere:
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from mapsplit_spark.operators.assign import assign_and_expand

@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import shutil
 
-import pytest
 from pyspark.sql import functions as F
 
 from mapsplit_spark.operators.assign import assign_and_expand, with_tile_id
