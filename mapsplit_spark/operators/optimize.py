@@ -5,18 +5,23 @@ base-zoom tiles with fewer than nodeLimit elements are merged into
 coarser-zoom parents: walking zoom-out levels d = 1..4
 (MAX_ZOOM_OUT_DIFF = 5), accept the first 2^d×2^d sibling block whose
 total lands in (nodeLimit, 4·nodeLimit) — or the deepest level tried —
-backing off one level when the total reaches ≥ 4·nodeLimit.  Iteration
-is over tiles in ascending packed-key order and already-merged tiles
-are skipped, which makes the pass order-dependent and inherently
-sequential — exactly how the reference runs it.
+backing off to the PREVIOUS level's zoom when the total reaches
+≥ 4·nodeLimit (zoomMap.put(prevResult.keys[i], newZoom + 1) with
+newZoom = zoom − z, i.e. zoom − (z−1) — MapSplit.java:908-912).
+Iteration is over tiles in ascending packed-key order and
+already-merged tiles are skipped.
 
-Spark split of responsibilities (SURVEY.md §4): the per-tile histogram
-(A2) is a distributed groupBy; the sequential merge walks the COLLECTED
-histogram on the driver (same memory profile as the reference's stats
-map — bounded by distinct modified tiles, ~10^7 entries at planet
-scale ≈ 100 MB); the resulting tile→zoom map broadcasts back into a
-join.  Re-keyed duplicates are removed per element, matching the
-optimized store path's HashSet dedupe (MapSplit.java:1304-1320).
+Scale design: the walk looks order-dependent/sequential, but it
+decomposes exactly by level-4 superblock — a tile's walk reads only
+block sums at levels d ≤ 4 (all inside its own (x>>4, y>>4) block,
+getCounts :952-976) and marks only tiles inside that block, so tiles in
+different superblocks never interact and within-block ascending order
+equals global ascending order restricted to the block.  The distributed
+path therefore runs the identical pure-Python walk per superblock group
+via applyInPandas (each group ≤ 256 tiles) — no full-histogram driver
+collect; only the (small) merged-tile remap is joined back.  The
+driver-side path (collect + one walk) remains for tiny inputs and as
+the differential-test mirror.
 """
 
 from __future__ import annotations
@@ -25,13 +30,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ZOOM_OUT_DIFF = 5  # MapSplit.java:80
+_SUPER_SHIFT = MAX_ZOOM_OUT_DIFF - 1  # deepest walk level ⇒ superblock side 2^4
 
 
 def compute_zoom_map(counts: dict[tuple[int, int], int], zoom: int,
                      node_limit: int) -> dict[tuple[int, int], int]:
     """counts: {(x, y): n} at base zoom → {(x, y): new_zoom} for merged
     tiles.  Pure-Python mirror of MapSplit.java:858-936; also used by
-    the pytest oracle."""
+    the pytest oracle and the tile_merge gate's DuckDB-side remap."""
     if node_limit <= 0:
         return {}
     zoom_map: dict[tuple[int, int], int] = {}
@@ -58,15 +64,49 @@ def compute_zoom_map(counts: dict[tuple[int, int], int], zoom: int,
                     break
                 prev_block, prev_zoom = block, new_zoom
             else:
+                # back off to the PREVIOUS level's zoom: the reference
+                # stores newZoom + 1 = zoom − (d−1) = prev_zoom
+                # (MapSplit.java:908-912)
                 if prev_block is not None:
                     for t in prev_block:
-                        zoom_map[t] = prev_zoom + 1 if prev_zoom is not None else zoom
+                        zoom_map[t] = prev_zoom
                 break
     return zoom_map
 
 
+def zoom_map_df(counts: DataFrame, zoom: int, node_limit: int) -> DataFrame:
+    """Distributed merge walk: counts(tile_x, tile_y, n) →
+    (mx, my, new_zoom) for merged tiles only.
+
+    groupBy (x>>4, y>>4) superblock + the identical per-block walk —
+    bit-equal to the global walk (see module docstring) with no driver
+    collect; output cardinality = merged tiles only.
+    """
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        stats = dict(zip(zip(pdf["tile_x"], pdf["tile_y"]), pdf["n"]))
+        zmap = compute_zoom_map(stats, zoom, node_limit)
+        return pd.DataFrame(
+            {"mx": [k[0] for k in zmap], "my": [k[1] for k in zmap],
+             "new_zoom": [int(v) for v in zmap.values()]}
+        )
+
+    return (
+        counts.groupBy(
+            F.shiftright("tile_x", _SUPER_SHIFT).alias("sbx"),
+            F.shiftright("tile_y", _SUPER_SHIFT).alias("sby"),
+        )
+        .applyInPandas(
+            lambda key, pdf: walk(pdf),
+            "mx long, my long, new_zoom int",
+        )
+    )
+
+
 def merged_assignments(assignments: DataFrame, zoom: int, node_limit: int,
-                       counts: DataFrame | None = None) -> DataFrame:
+                       counts: DataFrame | None = None,
+                       distributed: bool = True) -> DataFrame:
     """Re-key exploded (element_id, tile_x, tile_y) through the merge map.
 
     → (element_id, zoom, tile_x, tile_y) distinct — merged tiles carry
@@ -76,15 +116,26 @@ def merged_assignments(assignments: DataFrame, zoom: int, node_limit: int,
     spark = assignments.sparkSession
     if counts is None:
         counts = assignments.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n"))
-    stats = {(r.tile_x, r.tile_y): r.n for r in counts.collect()}
-    zmap = compute_zoom_map(stats, zoom, node_limit)
-    if not zmap:
+    if node_limit <= 0:
+        zmap_df = None
+    elif distributed:
+        # merged subset ≪ histogram; broadcast keeps the remap join
+        # shuffle-free (falls back to shuffle join above the 8 GB
+        # broadcast cap — then partitioned on the same tile key)
+        # an empty map degenerates to a no-op left join — no pre-check
+        # (isEmpty would execute the walk twice)
+        zmap_df = F.broadcast(zoom_map_df(counts, zoom, node_limit))
+    else:
+        stats = {(r.tile_x, r.tile_y): r.n for r in counts.collect()}
+        zmap = compute_zoom_map(stats, zoom, node_limit)
+        zmap_df = F.broadcast(spark.createDataFrame(
+            [(x, y, z) for (x, y), z in zmap.items()],
+            "mx long, my long, new_zoom int",
+        )) if zmap else None
+    if zmap_df is None:
         return assignments.select(
             "element_id", F.lit(zoom).alias("zoom"), "tile_x", "tile_y"
         ).dropDuplicates(["element_id", "tile_x", "tile_y"])
-    zmap_df = F.broadcast(spark.createDataFrame(
-        [(x, y, z) for (x, y), z in zmap.items()], "mx long, my long, new_zoom int"
-    ))
     joined = assignments.join(
         zmap_df,
         (assignments.tile_x == zmap_df.mx) & (assignments.tile_y == zmap_df.my),

@@ -169,6 +169,44 @@ def test_compute_zoom_map_hand_cases():
     # case 4: tile at/above limit is left alone
     counts = {(5, 5): 100}
     assert compute_zoom_map(counts, ZOOM, limit) == {}
+    # case 5: backoff with a stored prev block (MapSplit.java:908-912 —
+    # zoomMap.put(prevResult.keys[i], newZoom + 1), i.e. the PREVIOUS
+    # level's zoom): the 2x2 block at d=1 totals 50 (≤ limit → stored),
+    # at d=2 the 4x4 block picks up (8,8)=400 → total ≥ 4·limit → back
+    # off and merge the stored 2x2 block at zoom−1, NOT zoom
+    counts = {(10, 10): 20, (10, 11): 10, (11, 10): 10, (11, 11): 10, (8, 8): 400}
+    zm = compute_zoom_map(counts, ZOOM, limit)
+    assert zm == {(10, 10): ZOOM - 1, (10, 11): ZOOM - 1,
+                  (11, 10): ZOOM - 1, (11, 11): ZOOM - 1}
+
+
+def test_zoom_map_distributed_matches_driver_walk(spark):
+    """The superblock-decomposed distributed walk must be bit-equal to
+    the global driver-side walk on adversarial inputs (blocks straddling
+    superblock boundaries, backoff cases, dense/sparse mix)."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    # random dense patches around superblock boundaries (x,y near k·16)
+    for base in ((14, 14), (30, 2), (0, 0), (15, 16), (100, 100)):
+        pts = {}
+        for _ in range(40):
+            x = base[0] + rng.randrange(0, 6)
+            y = base[1] + rng.randrange(0, 6)
+            pts[(x, y)] = rng.choice([1, 5, 20, 99, 150, 400])
+        cases.append(pts)
+    # plus the hand cases
+    cases.append({(10, 10): 20, (10, 11): 10, (11, 10): 10, (11, 11): 10, (8, 8): 400})
+    for counts in cases:
+        expected = compute_zoom_map(counts, ZOOM, 100)
+        df = spark.createDataFrame(
+            [(x, y, n) for (x, y), n in counts.items()],
+            "tile_x long, tile_y long, n long",
+        )
+        from mapsplit_spark.operators.optimize import zoom_map_df
+        got = {(r.mx, r.my): r.new_zoom for r in zoom_map_df(df, ZOOM, 100).collect()}
+        assert got == expected, f"distributed walk diverged on {counts}"
 
 
 def test_merged_assignments_rekey_and_dedupe(spark):
