@@ -11,6 +11,24 @@ Two paths:
   re-rank.  Turns the O(Q×N) cross join into a partition-pruned join on
   tile_id: at 100 TB the points side is bucketed by tile, so the ring
   join touches only (2r+1)² tiles per query.
+
+Scale-correctness details of the tiled path:
+
+* the points side is assigned ONCE with its coordinates carried through
+  ``keep_cols`` — no self-join back to the table to recover p_lon/p_lat
+  (that join would shuffle the big side a second time);
+* ring x wraps modulo 2^zoom so queries near lon ±180 see candidates on
+  the other side of the antimeridian seam; ring y is clamped to
+  [0, 2^zoom) (there is nothing beyond the Mercator poles);
+* shortfall/coverage escalation: a query's top-k is accepted only when
+  its k-th candidate distance is PROVABLY inside the probed ring — i.e.
+  ≤ a conservative lower bound on the distance from the query to the
+  ring's boundary (meridian / parallel great-circle bounds).  Unproven
+  queries (sparse oceans at 100× density variance) re-probe at
+  progressively coarser zooms (ring area ×4 per step) and finally fall
+  back to exact brute force — so the tiled path returns the exact top-k
+  at every density, and the expensive fallback only ever sees the few
+  queries the ladder could not prove.
 """
 
 from __future__ import annotations
@@ -21,6 +39,9 @@ from pyspark.sql.window import Window
 
 from .. import sqlgen
 from .assign import assign_tiles
+
+EARTH_R_KM = 6371.0088  # matches sqlgen.haversine_sql
+_FAR_KM = 1.0e9  # "side fully covered" sentinel (wraps / poles)
 
 
 def _ranked(joined: DataFrame, k: int) -> DataFrame:
@@ -40,31 +61,138 @@ def knn_bruteforce(queries: DataFrame, points: DataFrame, k: int = 5) -> DataFra
     return _ranked(F.broadcast(queries).crossJoin(points), k)
 
 
+def _tiled_points(points: DataFrame, zoom: int) -> DataFrame:
+    return assign_tiles(
+        points, "point_id", "p_lon", "p_lat", zoom,
+        keep_cols=["p_lon", "p_lat"],
+    ).select(F.col("element_id").alias("point_id"), "p_lon", "p_lat", "tile_x", "tile_y")
+
+
+def _query_tiles(queries: DataFrame, zoom: int) -> DataFrame:
+    return assign_tiles(
+        queries, "query_id", "q_lon", "q_lat", zoom,
+        keep_cols=["q_lon", "q_lat"],
+    ).select(F.col("element_id").alias("query_id"), "q_lon", "q_lat", "tile_x", "tile_y")
+
+
+def _ring_candidates(qt: DataFrame, points_tiled: DataFrame, zoom: int,
+                     ring: int) -> DataFrame:
+    """Query tiles × (2·ring+1)² ring offsets ⋈ tiled points.
+
+    Ring x wraps at the antimeridian (pmod 2^zoom); y clamps to the
+    Mercator domain.  → (query_id, q_lon, q_lat, point_id, p_lon, p_lat).
+    """
+    n = 1 << zoom
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    ringed = qt.withColumn(
+        "ring", F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets
+        ]))
+    ).select(
+        "query_id", "q_lon", "q_lat",
+        F.pmod(F.col("tile_x") + F.col("ring.dx"), F.lit(n)).alias("tile_x"),
+        (F.col("tile_y") + F.col("ring.dy")).alias("tile_y"),
+    ).filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n)).dropDuplicates(
+        ["query_id", "tile_x", "tile_y"]  # wrap can alias ring tiles at tiny zooms
+    )
+    return F.broadcast(ringed).join(points_tiled, ["tile_x", "tile_y"]).select(
+        "query_id", "q_lon", "q_lat", "point_id", "p_lon", "p_lat"
+    )
+
+
+def _coverage_radius_km(qt: DataFrame, zoom: int, ring: int) -> DataFrame:
+    """Per query: a conservative LOWER bound (km) on the distance from
+    the query point to the probed ring's boundary.  Any neighbour closer
+    than this provably lies inside the ring, so a top-k whose k-th
+    distance is below it is exact.
+
+    Bounds used (never overestimate):
+    * west/east tile edges: great-circle distance to the full meridian,
+      R·asin(cos φ · |sin Δλ|) — ≤ distance to the finite edge segment;
+    * north/south edges: R·|Δφ| along the meridian — the true minimum
+      to the full parallel;
+    * a side that wraps the world / hits a pole is fully covered (_FAR_KM).
+    """
+    n = 1 << zoom
+    lon_w = sqlgen.tile2lon_sql("tile_x - " + str(ring), zoom)
+    lon_e = sqlgen.tile2lon_sql(f"tile_x + {ring + 1}", zoom)
+    lat_n = sqlgen.tile2lat_sql(f"tile_y - {ring}", zoom)
+    lat_s = sqlgen.tile2lat_sql(f"tile_y + {ring + 1}", zoom)
+
+    def meridian_km(lon_b: str):
+        return (
+            f"{EARTH_R_KM!r} * ASIN(LEAST(1.0, COS(RADIANS(q_lat)) * "
+            f"ABS(SIN(RADIANS(q_lon - ({lon_b})))))"
+            ")"
+        )
+
+    def parallel_km(lat_b: str):
+        return f"{EARTH_R_KM!r} * RADIANS(ABS(q_lat - ({lat_b})))"
+
+    if 2 * ring + 1 >= n:
+        lon_cov = F.lit(_FAR_KM)
+    else:
+        lon_cov = F.least(F.expr(meridian_km(lon_w)), F.expr(meridian_km(lon_e)))
+    north_cov = F.when(F.col("tile_y") - ring <= 0, F.lit(_FAR_KM)) \
+        .otherwise(F.expr(parallel_km(lat_n)))
+    south_cov = F.when(F.col("tile_y") + ring >= n - 1, F.lit(_FAR_KM)) \
+        .otherwise(F.expr(parallel_km(lat_s)))
+    return qt.select(
+        "query_id", F.least(lon_cov, north_cov, south_cov).alias("cov_km")
+    )
+
+
+def _proven(ranked: DataFrame, coverage: DataFrame, k: int) -> DataFrame:
+    """Query ids whose ring top-k is provably exact: k candidates AND
+    k-th distance strictly inside the coverage radius."""
+    stats = ranked.groupBy("query_id").agg(
+        F.count("*").alias("n_cand"), F.max("dist_km").alias("d_k")
+    )
+    return (
+        stats.join(coverage, "query_id")
+        .filter((F.col("n_cand") >= k) & (F.col("d_k") < F.col("cov_km")))
+        .select("query_id")
+    )
+
+
 def knn_tiled(queries: DataFrame, points: DataFrame, zoom: int, ring: int = 1,
-              k: int = 5) -> DataFrame:
-    """Tile-ring candidate generation + exact re-rank.
+              k: int = 5, escalate: bool = True, min_zoom: int = 0) -> DataFrame:
+    """Tile-ring candidate generation + exact haversine re-rank.
 
     Each query expands to its (2·ring+1)² surrounding tiles (H3 k-ring
     analog on the slippy quadtree); points carry their base tile; the
     join hits only ring tiles.  With the points side bucketed/partitioned
-    by tile this is a partition-pruned join, not a cross join.  Callers
-    should pick ``zoom``/``ring`` so the ring is larger than the expected
-    k-th-neighbour distance, or re-query at a coarser zoom on shortfall.
+    by tile this is a partition-pruned join, not a cross join.
+
+    With ``escalate`` (default) the result is EXACT at any density: each
+    query's top-k is accepted only when provably covered by its ring
+    (see ``_coverage_radius_km``); unproven queries walk coarser zooms
+    down to ``min_zoom`` (ring area ×4 per step) and finally fall back
+    to brute force — by construction the fallback set is tiny (the few
+    sparse-region queries).  ``escalate=False`` keeps the single-probe
+    behaviour for callers that sized zoom/ring themselves.
     """
-    pt = assign_tiles(points, "point_id", "p_lon", "p_lat", zoom).select(
-        F.col("element_id").alias("point_id"), "tile_x", "tile_y"
-    ).join(points, "point_id")
-    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    qt = assign_tiles(queries, "query_id", "q_lon", "q_lat", zoom).select(
-        F.col("element_id").alias("query_id"), "tile_x", "tile_y"
-    ).join(queries, "query_id").withColumn(
-        "ring", F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets]))
-    ).select(
-        "query_id", "q_lon", "q_lat",
-        (F.col("tile_x") + F.col("ring.dx")).alias("tile_x"),
-        (F.col("tile_y") + F.col("ring.dy")).alias("tile_y"),
-    )
-    joined = F.broadcast(qt).join(pt, ["tile_x", "tile_y"]).select(
-        "query_id", "q_lon", "q_lat", "point_id", "p_lon", "p_lat"
-    ).dropDuplicates(["query_id", "point_id"])
-    return _ranked(joined, k)
+    pending = queries.select("query_id", "q_lon", "q_lat")
+    results: list[DataFrame] = []
+    z = zoom
+    while z >= min_zoom:
+        qt = _query_tiles(pending, z)
+        cands = _ring_candidates(qt, _tiled_points(points, z), z, ring)
+        ranked = _ranked(cands.dropDuplicates(["query_id", "point_id"]), k)
+        if not escalate:
+            return ranked
+        ranked = ranked.localCheckpoint(eager=True)  # reused 3× below
+        proven = _proven(ranked, _coverage_radius_km(qt, z, ring), k)
+        results.append(ranked.join(F.broadcast(proven), "query_id", "left_semi"))
+        pending = pending.join(F.broadcast(proven), "query_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if pending.isEmpty():
+            break
+        z -= 1
+    else:
+        results.append(knn_bruteforce(pending, points, k))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

@@ -58,3 +58,35 @@ def test_tiled_prunes_candidates(data):
     rows = out.collect()
     seen = {(r.query_id, r.point_id) for r in rows}
     assert len(seen) == len(rows)
+
+
+def test_escalation_recovers_exact_topk_on_sparse_density(spark):
+    """At z10/ring1 the ring around each query is empty (points hundreds
+    of km apart) — without shortfall escalation the tiled path returns
+    nothing; with it the result equals exact brute force."""
+    pts_rows = [(i, -40.0 + 3.0 * i, 10.0 + 2.0 * i) for i in range(12)]
+    pts = spark.createDataFrame(pts_rows, "point_id long, p_lon double, p_lat double")
+    qs = spark.createDataFrame(
+        [(0, -39.4, 10.7), (1, -20.2, 23.1)], "query_id long, q_lon double, q_lat double"
+    )
+    exact = {(r.query_id, r.rank, r.point_id)
+             for r in knn_bruteforce(qs, pts, k=3).collect()}
+    no_esc = knn_tiled(qs, pts, zoom=10, ring=1, k=3, escalate=False).collect()
+    assert len(no_esc) < len(exact)  # the ring really is insufficient
+    tiled = {(r.query_id, r.rank, r.point_id)
+             for r in knn_tiled(qs, pts, zoom=10, ring=1, k=3).collect()}
+    assert tiled == exact
+
+
+def test_antimeridian_ring_wraps(spark):
+    """A query at lon +179.95 must see its true nearest neighbour at
+    lon −179.95 across the seam (ring x wraps modulo 2^zoom)."""
+    pts = spark.createDataFrame(
+        [(1, -179.95, 0.0), (2, 178.5, 0.0), (3, 170.0, 0.0)],
+        "point_id long, p_lon double, p_lat double",
+    )
+    qs = spark.createDataFrame(
+        [(0, 179.95, 0.0)], "query_id long, q_lon double, q_lat double"
+    )
+    got = knn_tiled(qs, pts, zoom=6, ring=1, k=1, escalate=False).collect()
+    assert len(got) == 1 and got[0].point_id == 1  # 0.1° across the seam
