@@ -148,12 +148,14 @@ def q_node_backfill(spark, sf_dir):
     members = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("way_id"), F.expr(NID).alias("member_id")
     )
-    # reused subtrees are persisted — Spark does not reuse non-identical
-    # exchanges across branches, and at scale the assignment relation is
-    # the expensive side (the pipeline materializes it as a stage for the
-    # same reason)
-    node_tiles = _event_pairs(spark, sf_dir).persist()
-    wt = way_tiles(members, node_tiles, "way_id", "member_id").persist()
+    # reused subtrees are materialized once — Spark does not reuse
+    # non-identical exchanges across branches, and at scale the
+    # assignment relation is the expensive side (the pipeline
+    # materializes it as a stage for the same reason).  localCheckpoint
+    # instead of persist: blocks are context-cleaned on GC, so repeated
+    # queries() use doesn't accumulate pinned cache entries.
+    node_tiles = _event_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    wt = way_tiles(members, node_tiles, "way_id", "member_id").localCheckpoint(eager=True)
     ok_members = members.join(
         wt.select("way_id").distinct(), "way_id"
     )
@@ -223,6 +225,20 @@ def q_tile_bounds(spark, sf_dir):
 # CCW convex quadrilateral used by the oracle-checked clip query
 CLIP_QUAD = [(-50.0, -30.0), (40.0, -40.0), (60.0, 25.0), (-30.0, 35.0)]
 
+# concave outer ring + hole for the general even-odd clip gate (P7/P8/P9
+# general form).  No horizontal edges (ring_pip_sql requirement) and no
+# vertex near a tile-corner grid line.
+CLIP_RING = [
+    (-60.0, -50.0), (20.0, -55.3), (25.7, -10.2), (-10.3, -15.1),
+    (-12.7, 20.4), (30.1, 15.2), (35.0, 55.7), (-55.2, 60.3),
+]
+CLIP_HOLE = [(-30.0, -30.0), (-20.0, -38.5), (-40.0, -35.2)]
+
+# relation namespaces for the J3-J6 gates: relation/way ids must not
+# collide with event (node) ids — offset into disjoint ranges
+R1, R2, R3 = 1_000_000, 2_000_000, 3_000_000
+REL_CUST_LIMIT = 20  # complete-relations gate: bounded relation subset
+
 
 def q_clip_convex(spark, sf_dir):
     """P7/P9 — point-in-polygon clip (convex half-plane form so the
@@ -237,15 +253,123 @@ def q_clip_convex(spark, sf_dir):
 
 
 def q_tile_merge(spark, sf_dir):
-    """§2.5 optimize — hierarchical tile merge (sequential order-dependent
-    walk per MapSplit.java:858-936; not SQL-expressible → rows-only gate,
-    exact semantics covered by pytest hand cases + oracle)."""
+    """§2.5 optimize — hierarchical tile merge (MapSplit.java:858-936),
+    distributed superblock walk.  Full value-hash gate: the oracle embeds
+    the shared pure-Python walk's remap (computed from DuckDB-side
+    counts) as a VALUES table."""
     from mapsplit_spark.operators.optimize import merged_assignments
 
     merged = merged_assignments(_event_pairs(spark, sf_dir), ZOOM, node_limit=5)
     return (
         merged.groupBy("zoom", "tile_x", "tile_y")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def q_clip_ring(spark, sf_dir):
+    """P7 general even-odd rings + P8 tile corner test + P9/J8 tile clip
+    join — the reference's clipPoly path (MapSplit.java:999-1065,
+    1128-1145) with a concave outer ring and a hole, run through the
+    real numpy clip operators (operators/clip.py)."""
+    import numpy as np
+
+    from mapsplit_spark.operators.clip import clip_assignments, clip_tiles
+
+    def ring_np(vs):
+        r = np.array(vs, dtype=np.float64)
+        return (r, (r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()))
+
+    pairs = _event_pairs(spark, sf_dir)
+    kept = clip_tiles(
+        pairs.select("tile_x", "tile_y").distinct(),
+        [ring_np(CLIP_RING)], [ring_np(CLIP_HOLE)], ZOOM,
+    )
+    return clip_assignments(pairs, kept)
+
+
+def _relation_edges(spark, sf_dir):
+    """Three-level relation nesting over disjoint id namespaces:
+    level-1 relations (R1+orderkey) contain event nodes, level-2
+    (R2+custkey) contain level-1 relations, level-3 (R3+nationkey)
+    contain level-2 — J3 member lookups + the J4 fixed point resolve
+    the chain (postProcessRelations, MapSplit.java:772-790)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") + R1).alias("relation_id"),
+        F.expr(NID).alias("member_id"),
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") + R2).alias("relation_id"),
+        (F.col("o_orderkey") + R1).alias("member_id"),
+    )
+    cu = _t(spark, sf_dir, "customer").select(
+        (F.col("c_nationkey") + R3).alias("relation_id"),
+        (F.col("c_custkey") + R2).alias("member_id"),
+    )
+    return li.unionByName(od).unionByName(cu)
+
+
+def q_relation_tiles(spark, sf_dir):
+    """J3/J4 — relation member tile lookups with relation→relation
+    forward refs resolved to fixed point (MapSplit.java:547-622,
+    772-790); missing members skipped, empty relations dropped (P5)."""
+    from mapsplit_spark.operators.propagate import relation_tiles_fixed_point
+
+    return relation_tiles_fixed_point(
+        _relation_edges(spark, sf_dir), _event_pairs(spark, sf_dir)
+    )
+
+
+def q_complete_rel(spark, sf_dir):
+    """J5/J6 — complete-relations down-propagation (-c/-C): members
+    inherit the relation's full tile set (MapSplit.java:641-661) and
+    nodes of member ways inherit those ways' augmented sets in pass 2
+    (addExtraWayToMap, MapSplit.java:519-527, 793-831)."""
+    from mapsplit_spark.operators.propagate import (
+        complete_relation_propagation,
+        way_tiles,
+    )
+
+    node_tiles = _event_pairs(spark, sf_dir)
+    way_members = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") + R1).alias("way_id"), F.expr(NID).alias("member_id")
+    )
+    wt = way_tiles(way_members, node_tiles, "way_id", "member_id")
+    rel_members = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < REL_CUST_LIMIT
+    ).select(
+        (F.col("o_custkey") + R2).alias("relation_id"),
+        (F.col("o_orderkey") + R1).alias("member_id"),
+    )
+    rel_tiles = (
+        rel_members.join(wt, rel_members.member_id == wt.way_id)
+        .select(F.col("relation_id").alias("element_id"), "tile_x", "tile_y")
+        .distinct()
+    )
+    return complete_relation_propagation(rel_members, rel_tiles, way_members, node_tiles)
+
+
+def q_mbtiles_rows(spark, sf_dir):
+    """S7 — MBTiles tile-row construction: TMS y-flip
+    (MapSplit.java:1359-1364) + manifest JSON blob, as the exact relation
+    ``export_mbtiles`` writes to SQLite."""
+    from mapsplit_spark.sinks.mbtiles import mbtiles_tile_rows
+
+    man = tile_manifests(_event_pairs(spark, sf_dir), ZOOM, assume_distinct=True)
+    return mbtiles_tile_rows(man, ZOOM)
+
+
+def q_lsh_near_dup(spark, sf_dir):
+    """MinHash-LSH near-dup SCALE path, oracle-checked end-to-end: band
+    bucket join (capped) + exact Jaccard verify at θ=0.9.  The fixture's
+    planted near-dups sit at s ≥ 0.96 where the 16-band/2-row curve has
+    miss probability (1−s²)^16 < 1e-17, so LSH recall is 1.0 and the
+    exact-Jaccard SQL is a valid oracle (same construction as the
+    knn_tiled↔exact-kNN gate)."""
+    from mapsplit_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(
+        _t(spark, sf_dir, "documents"), ngram=3, num_hashes=32, bands=16,
+        threshold=0.9,
     )
 
 
@@ -360,6 +484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_bounds": q_tile_bounds,
         "clip_convex": q_clip_convex,
         "tile_merge": q_tile_merge,
+        "clip_ring": q_clip_ring,
+        "relation_tiles": q_relation_tiles,
+        "complete_rel": q_complete_rel,
+        "mbtiles_rows": q_mbtiles_rows,
+        "lsh_near_dup": q_lsh_near_dup,
         "session_holefill": q_session_holefill,
         "knn": q_knn,
         "knn_tiled": q_knn_tiled,
@@ -428,6 +557,123 @@ SELECT doc_id, {case} AS pred_lang, CAST({m} AS BIGINT) AS score FROM scored
 """
 
 
+def _tile_merge_oracle() -> str:
+    """Full value-hash oracle for the §2.5 merge: the sequential walk is
+    not SQL-expressible, so compute per-tile counts DuckDB-side, run the
+    SAME shared pure-Python mirror (compute_zoom_map — also the pytest
+    oracle), and embed the resulting tile→zoom remap as a VALUES table
+    in the final SQL.  The correctness gate runs at sf0.01 (driver
+    contract); override via SPARK_GRAFT_CORRECTNESS_DIR."""
+    import duckdb
+
+    from mapsplit_spark.operators.optimize import compute_zoom_map
+
+    sf = os.environ.get("SPARK_GRAFT_CORRECTNESS_DIR", "/root/testdata/sf0.01")
+    nodes = _events_nodes_cte()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    counts = con.execute(
+        f"SELECT tile_x, tile_y, count(*) AS n FROM ({nodes}) z GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    zmap = compute_zoom_map({(r[0], r[1]): r[2] for r in counts}, ZOOM, 5)
+    if not zmap:
+        return (
+            f"SELECT {ZOOM} AS zoom, tile_x, tile_y, count(*) AS n "
+            f"FROM ({nodes}) z GROUP BY 1, 2, 3"
+        )
+    values = ", ".join(f"({x}, {y}, {z})" for (x, y), z in sorted(zmap.items()))
+    return f"""
+WITH nodes AS ({nodes}),
+zmap(mx, my, nz) AS (SELECT * FROM (VALUES {values}) v(mx, my, nz)),
+m AS (
+  SELECT DISTINCT element_id,
+         COALESCE(nz, {ZOOM}) AS zoom,
+         CASE WHEN nz IS NOT NULL
+              THEN CAST(FLOOR(tile_x / POWER(2.0, {ZOOM} - nz)) AS BIGINT)
+              ELSE tile_x END AS mtx,
+         CASE WHEN nz IS NOT NULL
+              THEN CAST(FLOOR(tile_y / POWER(2.0, {ZOOM} - nz)) AS BIGINT)
+              ELSE tile_y END AS mty
+  FROM nodes LEFT JOIN zmap ON tile_x = mx AND tile_y = my
+)
+SELECT zoom, mtx AS tile_x, mty AS tile_y, count(*) AS n
+FROM m GROUP BY 1, 2, 3
+"""
+
+
+def _clip_ring_oracle() -> str:
+    """Corner-parity tile clip as pure SQL: each tile's 4 corners tested
+    against the concave ring + hole with the unrolled even-odd crossing
+    expression (same float64 tree as the numpy kernel).  Corners are
+    materialized once in a CTE (4 rows/tile) so the per-edge terms
+    reference plain columns — keeps the oracle's expression tree small."""
+    nodes = _events_nodes_cte()
+    corner_selects = []
+    for u in (0, 1):
+        for v in (0, 1):
+            lon = sqlgen.tile2lon_sql(f"tile_x + {u}" if u else "tile_x", ZOOM)
+            lat = sqlgen.tile2lat_sql(f"tile_y + {v}" if v else "tile_y", ZOOM)
+            corner_selects.append(
+                f"SELECT tile_x, tile_y, {lon} AS clon, {lat} AS clat FROM tiles"
+            )
+    corners = "\nUNION ALL\n".join(corner_selects)
+    outer = sqlgen.ring_pip_sql("clon", "clat", CLIP_RING)
+    hole = sqlgen.ring_pip_sql("clon", "clat", CLIP_HOLE)
+    return f"""
+WITH nodes AS ({nodes}),
+tiles AS (SELECT DISTINCT tile_x, tile_y FROM nodes),
+corners AS ({corners}),
+hits AS (
+  SELECT tile_x, tile_y,
+         MAX(CASE WHEN {outer} THEN 1 ELSE 0 END) AS any_outer,
+         MAX(CASE WHEN {hole} THEN 1 ELSE 0 END) AS any_hole
+  FROM corners GROUP BY tile_x, tile_y
+),
+kept AS (SELECT tile_x, tile_y FROM hits WHERE any_outer = 1 AND any_hole = 0)
+SELECT n.element_id, n.tile_x, n.tile_y
+FROM nodes n JOIN kept k ON n.tile_x = k.tile_x AND n.tile_y = k.tile_y
+"""
+
+
+def _relation_cte() -> str:
+    return f"""
+WITH nodes AS ({_events_nodes_cte()}),
+e1 AS (SELECT l_orderkey + {R1} AS rid, {NID} AS mid FROM lineitem),
+e2 AS (SELECT o_custkey + {R2} AS rid, o_orderkey + {R1} AS mid FROM orders),
+e3 AS (SELECT c_nationkey + {R3} AS rid, c_custkey + {R2} AS mid FROM customer),
+r1 AS (SELECT DISTINCT rid AS element_id, n.tile_x, n.tile_y
+       FROM e1 JOIN nodes n ON e1.mid = n.element_id),
+r2 AS (SELECT DISTINCT rid AS element_id, r1.tile_x, r1.tile_y
+       FROM e2 JOIN r1 ON e2.mid = r1.element_id),
+r3 AS (SELECT DISTINCT rid AS element_id, r2.tile_x, r2.tile_y
+       FROM e3 JOIN r2 ON e3.mid = r2.element_id)
+"""
+
+
+def _complete_rel_oracle() -> str:
+    return _oracle_session_cte().replace(
+        "SELECT l_orderkey AS way_id",
+        f"SELECT l_orderkey + {R1} AS way_id",
+    ) + f""",
+rm AS (SELECT o_custkey + {R2} AS relation_id, o_orderkey + {R1} AS member_id
+       FROM orders WHERE o_custkey < {REL_CUST_LIMIT}),
+rt AS (SELECT DISTINCT rm.relation_id, wt.tile_x, wt.tile_y
+       FROM rm JOIN wt ON rm.member_id = wt.way_id),
+inh AS (SELECT rm.member_id AS element_id, rt.tile_x, rt.tile_y
+        FROM rm JOIN rt ON rm.relation_id = rt.relation_id),
+aug AS (SELECT m.member_id AS element_id, i.tile_x, i.tile_y
+        FROM inh i JOIN members m ON i.element_id = m.way_id)
+SELECT DISTINCT element_id, tile_x, tile_y FROM (
+  SELECT element_id, tile_x, tile_y FROM nodes
+  UNION ALL SELECT * FROM inh
+  UNION ALL SELECT * FROM aug
+) u
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     nodes = _events_nodes_cte()
     hav = sqlgen.haversine_sql("q_lat", "q_lon", "p_lat", "p_lon")
@@ -471,6 +717,35 @@ SELECT ROUND(min({EV_LON}), 6) AS min_lon, ROUND(max({EV_LON}), 6) AS max_lon,
 FROM events
 """,
         "session_tiles": _oracle_session_cte() + "SELECT way_id, tile_x, tile_y FROM wt",
+        "tile_merge": _tile_merge_oracle(),
+        "clip_ring": _clip_ring_oracle(),
+        "relation_tiles": _relation_cte() + """
+SELECT DISTINCT element_id, tile_x, tile_y FROM (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+) u
+""",
+        "complete_rel": _complete_rel_oracle(),
+        "mbtiles_rows": f"""
+SELECT {ZOOM} AS zoom_level,
+       tile_x AS tile_column,
+       CAST(POWER(2.0, {ZOOM}) AS BIGINT) - tile_y - 1 AS tile_row,
+       '{{"ids":[' || array_to_string(list_sort(list(DISTINCT element_id)), ',')
+                   || '],"n":' || count(DISTINCT element_id) || '}}' AS tile_data
+FROM ({nodes}) z GROUP BY tile_x, tile_y
+""",
+        "lsh_near_dup": f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9
+""",
         "tile_bounds": f"""
 WITH tiles AS (SELECT DISTINCT tile_x, tile_y FROM ({nodes}) z)
 SELECT tile_x, tile_y,
@@ -491,11 +766,6 @@ SELECT element_id, tile_x, tile_y FROM (
   {sqlgen.assign_cte_sql('inside', 'event_id', 'lon', 'lat', ZOOM, 0.0)}
 ) z
 """,
-        # tile_merge: intentionally no oracle — the sequential,
-        # order-dependent merge walk (MapSplit.java:858-936) is not
-        # SQL-expressible; the driver records the weaker rows-only check
-        # and pytest covers exact semantics against hand-built cases.
-        #
         # session_holefill: the flood fill itself is not SQL-expressible,
         # but on THIS input (spatially scattered session tile sets) the
         # expected hole set is empty, so the correct expected output

@@ -81,9 +81,21 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 32,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_bucket: int | None = 1024) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band hash are
-    candidates.  → distinct (id_a, id_b) with id_a < id_b."""
+    candidates.  → distinct (id_a, id_b) with id_a < id_b.
+
+    Hot-bucket guard: a degenerate band bucket of size B yields B²
+    candidate rows in ONE join key — a scale-killer on real web text
+    (e.g. boilerplate/near-empty docs collapsing to one signature band).
+    Buckets larger than ``max_bucket`` are dropped from candidate
+    generation (standard LSH practice — LRU ch.3; each pair has
+    ``bands − 1`` other chances, and the pathological buckets are almost
+    always content-free junk that exact dedup catches first).  The drop
+    is observable: filtering joins against the aggregated bucket sizes,
+    so ``bucket_sizes(...)`` can report what was excluded.  Pass
+    ``max_bucket=None`` to disable."""
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = signatures.select(
         F.col(id_col),
@@ -105,6 +117,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "bhash").agg(F.count("*").alias("bsize"))
+            .filter(F.col("bsize") <= max_bucket)
+            .select("band", "bhash")
+        )
+        banded = banded.join(ok, ["band", "bhash"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -133,15 +152,35 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.7
     )
 
 
+def bucket_sizes(signatures: DataFrame, bands: int = 8,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Band-bucket size histogram — the observability companion to the
+    ``max_bucket`` cap: report/alert on buckets the cap would drop."""
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        id_col, "band",
+        F.xxhash64(F.concat_ws(",", F.transform(
+            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+            lambda v: v.cast("string"),
+        ))).alias("bhash"),
+    )
+    return banded.groupBy("band", "bhash").agg(F.count("*").alias("bsize"))
+
+
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", ngram: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      max_bucket: int | None = 1024) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → minhash → band
-    bucket join → exact Jaccard verification."""
+    bucket join (hot buckets capped) → exact Jaccard verification."""
     shingled = with_shingle_hashes(docs, id_col, text_col, ngram)
     sigs = minhash_signatures(shingled, num_hashes, id_col)
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket)
     return jaccard_verify(cands, shingled, threshold, id_col)
 
 

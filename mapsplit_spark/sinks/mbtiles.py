@@ -2,31 +2,89 @@
 
 The reference writes per-tile PBF blobs into a SQLite `tiles` table keyed
 (zoom_level, tile_column, tile_row) with the TMS y-flip
-``y' = 2^z − y − 1`` (MapSplit.java:1359-1364) plus a `metadata` table
-(format/minzoom/maxzoom/latest_date/bounds, Const.java:5-9).
+``y' = 2^z − y − 1`` (MapSplit.java:1359-1364) plus a `metadata` table:
+name/type/version/attribution/format/minzoom/maxzoom/latest_date/bounds
+(MapSplit.java:1389-1402, Const.java:5-9) — bounds is the tile-set bbox
+"left,bottom,right,top" with a world-bounds fallback, and latest_date is
+the A3 max entity timestamp in epoch ms (deterministic, never wall
+clock).
 
 Ours stores each tile's manifest JSON (or a mosaic blob when provided) —
 SQLite is inherently single-writer, so this is a driver-side export for
 bounded outputs; at 100 TB the per-tile parquet/Iceberg table from
 ``write_tiles`` is the real sink and MBTiles is a downstream packaging
 step (one file per region via foreachPartition if ever needed).
+``mbtiles_tile_rows`` builds the tile rows (TMS flip + JSON blob) as a
+pure Column-expression DataFrame so the driver's DuckDB gate can verify
+it value-exactly.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sqlite3
-import time
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 FORMAT = "application/json"  # manifest payload (reference uses OSM PBF)
 RASTER_FORMAT = "image/x-msim"  # mosaic blobs from the stub codec
+ATTRIBUTION = "mapsplit_spark synthetic fixtures"  # ≡ Const.OSM_ATTRIBUTION slot
+VERSION = "0.2.0"  # Const.MBT_VERSION
+WORLD_BOUNDS = "-180.0,-85.0,180.0,85.0"  # fallback, MapSplit.java:1399
+
+
+def mbtiles_tile_rows(manifests: DataFrame, zoom: int) -> DataFrame:
+    """Manifest table → MBTiles tile rows as Column expressions only:
+    (zoom_level, tile_column, tile_row TMS-flipped, tile_data JSON).
+
+    JSON shape matches the historical export blob byte-for-byte:
+    ``{"ids":[a,b,...],"n":N}`` — numeric ids bare, string ids quoted
+    (ids are identifier tokens; no embedded quotes to escape).
+    """
+    z = (F.col("zoom") if "zoom" in manifests.columns else F.lit(zoom)).cast("int")
+    ids = F.col("element_ids")
+    elem_type = manifests.schema["element_ids"].dataType.elementType.simpleString()
+    if elem_type == "string":
+        ids = F.transform(ids, lambda x: F.concat(F.lit('"'), x, F.lit('"')))
+    return manifests.select(
+        z.alias("zoom_level"),
+        F.col("tile_x").cast("long").alias("tile_column"),
+        (
+            F.expr("CAST(POWER(2.0, " + ("zoom" if "zoom" in manifests.columns else str(zoom)) + ") AS BIGINT)")
+            - F.col("tile_y") - 1
+        ).alias("tile_row"),
+        F.concat(
+            F.lit('{"ids":['),
+            F.concat_ws(",", ids),
+            F.lit('],"n":'),
+            F.col("n").cast("string"),
+            F.lit("}"),
+        ).alias("tile_data"),
+    )
+
+
+def _tileset_bounds(tile_rows) -> str | None:
+    """left,bottom,right,top of the exported tile set (un-flipped y) —
+    setTilesetBounds analog (MapSplit.java:1396-1399)."""
+    if not tile_rows:
+        return None
+    import numpy as np
+
+    from .. import tilemath as tm
+
+    lefts, rights, tops, bottoms = [], [], [], []
+    for z, x, tms_y, _ in tile_rows:
+        y = (1 << z) - tms_y - 1
+        lefts.append(float(tm.tile2lon(np.float64(x), z)))
+        rights.append(float(tm.tile2lon(np.float64(x + 1), z)))
+        tops.append(float(tm.tile2lat(np.float64(y), z)))
+        bottoms.append(float(tm.tile2lat(np.float64(y + 1), z)))
+    return f"{min(lefts)},{min(bottoms)},{max(rights)},{max(tops)}"
 
 
 def _write_sqlite(path: str, tile_rows, fmt: str, zooms: set,
-                  fallback_zoom: int, latest_date_ms: int | None,
+                  fallback_zoom: int, latest_date_ms: int,
                   description: str) -> None:
     if os.path.exists(path):
         os.remove(path)
@@ -46,13 +104,15 @@ def _write_sqlite(path: str, tile_rows, fmt: str, zooms: set,
         meta = {
             "name": "mapsplit_spark",
             "type": "baselayer",
-            "version": "1",
+            "version": VERSION,
             "description": description,
+            "attribution": ATTRIBUTION,
             "format": fmt,
             "minzoom": str(min(zooms) if zooms else fallback_zoom),
             "maxzoom": str(max(zooms) if zooms else fallback_zoom),
-            "latest_date": str(latest_date_ms if latest_date_ms is not None
-                               else int(time.time() * 1000)),
+            # deterministic: the A3 max-timestamp, never wall clock
+            "latest_date": str(int(latest_date_ms)),
+            "bounds": _tileset_bounds(tile_rows) or WORLD_BOUNDS,
         }
         cur.executemany("INSERT INTO metadata VALUES (?,?)", meta.items())
         conn.commit()
@@ -61,24 +121,19 @@ def _write_sqlite(path: str, tile_rows, fmt: str, zooms: set,
 
 
 def export_mbtiles(spark, manifests: DataFrame, path: str, zoom: int,
-                   latest_date_ms: int | None = None) -> None:
-    """Vector path: per-tile manifest JSON blobs."""
-    rows = manifests.collect()
-    zooms, out = set(), []
-    for r in rows:
-        z = r.zoom if "zoom" in manifests.columns else zoom
-        zooms.add(z)
-        tms_y = (1 << z) - r.tile_y - 1  # TMS flip, MapSplit.java:1359-1364
-        blob = json.dumps(
-            {"ids": list(r.element_ids), "n": r.n}, separators=(",", ":")
-        ).encode()
-        out.append((z, r.tile_x, tms_y, blob))
-    _write_sqlite(path, out, FORMAT, zooms, zoom, latest_date_ms,
-                  "tile manifests from mapsplit_spark")
+                   latest_date_ms: int = 0) -> None:
+    """Vector path: per-tile manifest JSON blobs (rows built by
+    ``mbtiles_tile_rows`` — the same relation the correctness gate
+    verifies against DuckDB)."""
+    rows = mbtiles_tile_rows(manifests, zoom).collect()
+    out = [(r.zoom_level, r.tile_column, r.tile_row, r.tile_data.encode())
+           for r in rows]
+    _write_sqlite(path, out, FORMAT, {r.zoom_level for r in rows}, zoom,
+                  latest_date_ms, "tile manifests from mapsplit_spark")
 
 
 def export_raster_mbtiles(spark, mosaics: DataFrame, path: str, zoom: int,
-                          latest_date_ms: int | None = None) -> None:
+                          latest_date_ms: int = 0) -> None:
     """Raster path: per-tile mosaic image blobs (operators/multimodal.
     tile_mosaics) — the raster side of the north star's raster↔vector
     tile rendering.  Same TMS flip + metadata layout."""

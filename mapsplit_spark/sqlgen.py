@@ -166,6 +166,31 @@ def convex_pip_sql(lon: str, lat: str, vertices: list[tuple[float, float]]) -> s
     return "(" + " AND ".join(terms) + ")"
 
 
+def ring_pip_sql(lon: str, lat: str, ring: list[tuple[float, float]]) -> str:
+    """General even-odd ray casting for one arbitrary (possibly concave)
+    ring, unrolled per edge as portable SQL — the SQL twin of the numpy
+    kernel in operators/clip.py (_pip) and of the reference's isInside
+    (MapSplit.java:999-1010): count upward/downward edge crossings left
+    of the point, odd ⇒ inside.  Term arithmetic mirrors the numpy
+    expression shape exactly (((xj−xi)·(lat−yi))/(yj−yi)+xi) so both
+    engines evaluate the identical float64 tree.  Rings must have no
+    horizontal edges (yi == yj would divide by zero; the numpy kernel
+    masks that case, SQL cannot short-circuit portably).
+    """
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[i - 1]  # previous vertex — numpy's roll(+1) convention
+        assert yi != yj, "ring_pip_sql requires no horizontal edges"
+        terms.append(
+            f"(CASE WHEN (({yi!r} > ({lat})) <> ({yj!r} > ({lat}))) AND "
+            f"(({lon}) < ({xj!r} - {xi!r}) * (({lat}) - {yi!r}) / ({yj!r} - {yi!r}) + {xi!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 def derived_lon_sql(key: str) -> str:
     return f"(CAST((({key}) * 9973) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
 

@@ -74,3 +74,34 @@ def test_simhash_locality(docs):
 
     assert sh["d0"] == sh["d1"]
     assert ham(sh["d0"], sh["d2"]) < ham(sh["d0"], sh["d4"])
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """A pathological bucket (many identical docs → one band hash) must
+    not produce |B|² candidate rows: with the cap the bucket is dropped,
+    without it the full quadratic pair set appears.  Planted near-dups
+    in normal-size buckets survive the cap."""
+    from mapsplit_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    junk = [(f"j{i}", "lorem ipsum dolor sit amet " * 3) for i in range(60)]
+    real = [("a0", BASE), ("a1", BASE.replace("summer", "winter"))]
+    df = spark.createDataFrame(junk + real, "doc_id string, text string")
+    sigs = minhash_signatures(with_shingle_hashes(df), 32)
+    uncapped = lsh_candidate_pairs(sigs, bands=8, max_bucket=None)
+    assert uncapped.filter("id_a LIKE 'j%' AND id_b LIKE 'j%'").count() == 60 * 59 // 2
+    capped = lsh_candidate_pairs(sigs, bands=8, max_bucket=16)
+    assert capped.filter("id_a LIKE 'j%' AND id_b LIKE 'j%'").count() == 0
+    # the planted near-dup pair still surfaces with the cap active
+    assert capped.filter("id_a = 'a0' AND id_b = 'a1'").count() == 1
+
+
+def test_minhash_recall_with_default_cap(docs):
+    """The default cap must not change recall on normal corpora — same
+    planted-dup assertions as the uncapped pipeline."""
+    rows = {(r.id_a, r.id_b) for r in
+            minhash_near_dups(docs, threshold=0.5, max_bucket=64).collect()}
+    assert ("d0", "d1") in rows
+    assert ("d0", "d2") in rows or ("d1", "d2") in rows

@@ -61,3 +61,32 @@ def test_raster_mbtiles_mosaics_decode(spark, pairs, tmp_path):
         assert px.shape == (32, 32, 3)  # cell 8 × grid 4
         n += 1
     assert n == mosaics.count() > 0
+
+
+def test_metadata_parity_rows(spark, pairs, tmp_path):
+    """Reference metadata parity (MapSplit.java:1389-1402): bounds
+    (left,bottom,right,top of the tile set), attribution, version, and a
+    DETERMINISTIC latest_date (the A3 max timestamp, not wall clock)."""
+    from mapsplit_spark import tilemath as tm
+
+    _, p = pairs
+    man = tile_manifests(p, ZOOM, assume_distinct=True)
+    path = str(tmp_path / "m.mbtiles")
+    export_mbtiles(spark, man, path, ZOOM, latest_date_ms=1544288785000)
+    conn = sqlite3.connect(path)
+    meta = dict(conn.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["latest_date"] == "1544288785000"
+    assert meta["version"] == "0.2.0"
+    assert meta["attribution"]
+    xs = [r.tile_x for r in man.collect()]
+    ys = [r.tile_y for r in man.collect()]
+    left, bottom, right, top = (float(v) for v in meta["bounds"].split(","))
+    assert left == float(tm.tile2lon(min(xs), ZOOM))
+    assert right == float(tm.tile2lon(max(xs) + 1, ZOOM))
+    assert top == float(tm.tile2lat(min(ys), ZOOM))
+    assert bottom == float(tm.tile2lat(max(ys) + 1, ZOOM))
+    # re-export is byte-deterministic (no wall-clock anywhere)
+    path2 = str(tmp_path / "m2.mbtiles")
+    export_mbtiles(spark, man, path2, ZOOM, latest_date_ms=1544288785000)
+    meta2 = dict(sqlite3.connect(path2).execute("SELECT name, value FROM metadata").fetchall())
+    assert meta == {**meta2}
