@@ -4,11 +4,18 @@ surface (CommandLineParams.java:116-273) on Spark.
     spark-submit --py-files mapsplit_spark.zip jobs/split_job.py \
         --input /data/images.parquet --output /out/tiles \
         --zoom 13 --border 0.1 --optimize 2000 \
+        [--sessions /data/sessions.parquet --complete-sessions \
+         --multipolygon-only] \
         [--poly /data/clip_polygons.parquet --poly-id vaduz] \
-        [--mbtiles /out/tiles.mbtiles] [--complete-sessions ...]
+        [--date-file /out/latest.date --ts-col ts_ms] \
+        [--mbtiles /out/tiles.mbtiles] [--payload]
 
 Flag mapping: -z/--zoom, -b/--border, -O/--optimize, polygon clip ≡ -p,
---metadata ≡ -m (payload columns carried into tile outputs), MBTiles ≡ -M.
+--metadata ≡ -m (payload columns carried into tile outputs, with the
+P4 fail-fast null check), MBTiles ≡ -M, --sessions + --complete-sessions
+≡ -c (complete relations), --multipolygon-only ≡ -C, --date-file ≡ the
+appointment-date file (read prior date, write back latestDate —
+MapSplit.java:1506-1547).
 """
 
 from __future__ import annotations
@@ -36,8 +43,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zoom", type=int, default=13)
     p.add_argument("--border", type=float, default=0.0)
     p.add_argument("--optimize", type=int, default=0, metavar="NODE_LIMIT")
+    p.add_argument("--sessions", help="sessions parquet (session_id, kind, member_ids, tags)")
+    p.add_argument("--complete-sessions", action="store_true",
+                   help="-c: relation members inherit the relation's full tile set "
+                        "(J5/J6 down-propagation)")
+    p.add_argument("--multipolygon-only", action="store_true",
+                   help="-C: restrict down-propagation to tags.type=multipolygon (P6)")
     p.add_argument("--poly", help="clip_polygons parquet")
     p.add_argument("--poly-id", default=None)
+    p.add_argument("--date-file",
+                   help="appointment-date file (epoch ms): if present, only tiles "
+                        "touched by newer elements are written; latestDate is "
+                        "written back after the run (MapSplit.java:1506-1547)")
+    p.add_argument("--ts-col", default="ts_ms",
+                   help="epoch-ms timestamp column driving --date-file")
     p.add_argument("--mbtiles", help="also export an MBTiles file (manifest blobs)")
     p.add_argument("--raster-mbtiles",
                    help="also export raster MBTiles (per-tile mosaics from bytes)")
@@ -45,19 +64,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lon-col", default="lon")
     p.add_argument("--lat-col", default="lat")
     p.add_argument("--payload", action="store_true",
-                   help="materialize payload columns per tile (join bytes last)")
+                   help="materialize payload columns per tile (join bytes last; "
+                        "P4 metadata null check aborts bad inputs)")
     p.add_argument("--workdir", default=None,
                    help="stage-checkpoint dir: enables kill/resume (pipeline.py)")
     return p
 
 
+def _read_date_file(path: str) -> int | None:
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        txt = fh.read().strip()
+    return int(txt) if txt else None
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
     from mapsplit_spark.session import get_spark
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("split-job")
     t0 = time.time()
     src = spark.read.parquet(args.input)
+    appointment_ms = _read_date_file(args.date_file)
 
     if args.workdir:
         # checkpoint-resumable path: stages persist under --workdir and a
@@ -68,14 +100,24 @@ def main(argv=None) -> None:
             spark, args.workdir, zoom=args.zoom, border=args.border,
             id_col=args.id_col, lon_col=args.lon_col, lat_col=args.lat_col,
             poly_path=args.poly, poly_id=args.poly_id, node_limit=args.optimize,
+            sessions_path=args.sessions, complete_sessions=args.complete_sessions,
+            multipolygon_only=args.multipolygon_only,
         )
-        manifests = pipe.run(args.input)
-        pairs = spark.read.parquet(os.path.join(
-            args.workdir, "clip" if args.poly else "assign", "data"))
+        pipe.run(args.input)
+        pairs = spark.read.parquet(os.path.join(pipe.last_assignment_dir(), "data"))
     else:
         points = src.select(args.id_col, args.lon_col, args.lat_col)
         pairs = assign_and_expand(points, args.id_col, args.lon_col, args.lat_col,
                                   args.zoom, args.border)
+
+        if args.sessions:
+            from mapsplit_spark.operators.sessions import session_assignments
+
+            pairs = session_assignments(
+                pairs, spark.read.parquet(args.sessions),
+                complete=args.complete_sessions,
+                multipolygon_only=args.multipolygon_only,
+            )
 
         if args.poly:
             outers, inners = load_rings(spark.read.parquet(args.poly), args.poly_id)
@@ -83,45 +125,77 @@ def main(argv=None) -> None:
                               outers, inners, args.zoom)
             pairs = clip_assignments(pairs, kept)
 
-        if args.optimize > 0:
-            merged = merged_assignments(pairs, args.zoom, args.optimize)
-            manifests = (
-                merged.groupBy("zoom", "tile_x", "tile_y")
-                .agg(F.array_sort(F.collect_list("element_id")).alias("element_ids"),
-                     F.count("*").alias("n"))
-            )
-        else:
-            manifests = tile_manifests(pairs, args.zoom)
+    # §2.5 optimize — output-zoom relation (element_id, zoom, tile_x, tile_y);
+    # payload/raster keys derive from the SAME merged relation so every
+    # output agrees on tile identity (optimizedModifiedTiles parity)
+    if args.optimize > 0:
+        tiled = merged_assignments(pairs, args.zoom, args.optimize)
+    else:
+        tiled = pairs.select(
+            "element_id", F.lit(args.zoom).alias("zoom"), "tile_x", "tile_y"
+        ).dropDuplicates(["element_id", "tile_x", "tile_y"])
+    tiled = tiled.localCheckpoint(eager=False)  # reused by manifests/payload/raster
 
+    # S5/P3/A4 — appointment-date incremental: a tile is written iff it
+    # contains an element newer than the appointment date (element-level
+    # timestamps live on the images table; grouped rows become modified
+    # through their member images)
+    if appointment_ms is not None:
+        newer = src.filter(F.col(args.ts_col) > F.lit(appointment_ms)) \
+            .select(F.col(args.id_col).alias("element_id"))
+        modified_tiles = (
+            tiled.join(newer, "element_id", "left_semi")
+            .select("zoom", "tile_x", "tile_y").distinct()
+        )
+        tiled = tiled.join(modified_tiles, ["zoom", "tile_x", "tile_y"], "left_semi")
+
+    manifests = tile_manifests(tiled, args.zoom, assume_distinct=True)
     manifests.write.mode("overwrite").parquet(os.path.join(args.output, "manifests"))
 
+    # A3 latestDate — deterministic metadata + --date-file write-back
+    latest_ms = 0
+    if args.ts_col in src.columns:
+        latest_ms = src.agg(F.max(args.ts_col)).collect()[0][0] or 0
+
     if args.payload:
-        payload = with_tile_id(pairs, args.zoom).join(
-            src, pairs["element_id"] == src[args.id_col]
+        from mapsplit_spark.operators.multimodal import validate_payload_metadata
+
+        validate_payload_metadata(src)  # P4 fail-fast
+        payload = with_tile_id(tiled, args.zoom).join(
+            src, tiled["element_id"] == src[args.id_col]
         ).drop(args.id_col)
         write_tiles(payload, os.path.join(args.output, "tiles"), args.zoom)
 
     if args.mbtiles:
         from mapsplit_spark.sinks.mbtiles import export_mbtiles
 
-        export_mbtiles(spark, manifests, args.mbtiles, args.zoom)
+        export_mbtiles(spark, manifests, args.mbtiles, args.zoom,
+                       latest_date_ms=latest_ms)
 
     if args.raster_mbtiles:
         from mapsplit_spark.operators.multimodal import tile_mosaics
         from mapsplit_spark.sinks.mbtiles import export_raster_mbtiles
 
-        tile_imgs = pairs.join(
-            src.select(args.id_col, "bytes"), pairs["element_id"] == src[args.id_col]
-        ).select("tile_x", "tile_y", F.col("element_id").alias("image_id"), "bytes")
-        export_raster_mbtiles(spark, tile_mosaics(tile_imgs), args.raster_mbtiles, args.zoom)
+        tile_imgs = tiled.join(
+            src.select(args.id_col, "bytes"), tiled["element_id"] == src[args.id_col]
+        ).select("zoom", "tile_x", "tile_y", F.col("element_id").alias("image_id"), "bytes")
+        export_raster_mbtiles(spark, tile_mosaics(tile_imgs), args.raster_mbtiles,
+                              args.zoom, latest_date_ms=latest_ms)
+
+    if args.date_file:
+        with open(args.date_file, "w") as fh:  # MapSplit.java:1543-1547
+            fh.write(str(int(latest_ms)))
 
     m = spark.read.parquet(os.path.join(args.output, "manifests"))
     print(json.dumps({
         "tiles": m.count(),
         "elements": m.agg(F.sum("n")).collect()[0][0],
+        "incremental": appointment_ms is not None,
+        "latest_date_ms": int(latest_ms),
         "wall_sec": round(time.time() - t0, 2),
     }))
-    spark.stop()
+    if owns_session:  # don't tear down a caller-owned session (tests)
+        spark.stop()
 
 
 if __name__ == "__main__":

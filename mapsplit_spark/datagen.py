@@ -36,6 +36,12 @@ def make_images(n: int, with_bytes: bool = True) -> pa.Table:
     fmt = np.where(geo.splitmix64(idx.astype(np.uint64) ^ np.uint64(17)) % 2 == 0, "png", "jpeg")
     lat, lon = geo.geo(idx)
 
+    # deterministic event time (ms): Jan 2024 + up to ~60 days per id —
+    # drives the appointment-date incremental mechanism (S5/P3)
+    ts_ms = np.int64(1_704_067_200_000) + (
+        geo.splitmix64(idx.astype(np.uint64) ^ np.uint64(23)) % np.uint64(5_184_000_000)
+    ).astype(np.int64)
+
     picks = geo.splitmix64(idx.astype(np.uint64) ^ np.uint64(19))
     captions = [
         f"caption for {image_id[i]}: "
@@ -63,6 +69,7 @@ def make_images(n: int, with_bytes: bool = True) -> pa.Table:
         "phash": pa.array(np.array(phashes, dtype=np.int64)),
         "lat": pa.array(lat),
         "lon": pa.array(lon),
+        "ts_ms": pa.array(ts_ms),
     })
 
 

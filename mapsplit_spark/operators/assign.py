@@ -105,7 +105,10 @@ def assign_and_expand(df: DataFrame, id_col: str, lon_col: str, lat_col: str,
 
 
 def with_tile_id(df: DataFrame, zoom: int) -> DataFrame:
-    """Add packed 64-bit ``tile_id`` = z<<32 | x<<16 | y (tilemath.pack_zxy)."""
+    """Add packed 64-bit ``tile_id`` = z<<32 | x<<16 | y (tilemath.pack_zxy).
+    A per-row ``zoom`` column (multi-zoom optimized runs) wins over the
+    configured constant."""
+    z = "zoom" if "zoom" in df.columns else zoom
     return df.withColumn(
-        "tile_id", F.expr(sqlgen.tile_id_sql(zoom, "tile_x", "tile_y"))
+        "tile_id", F.expr(sqlgen.tile_id_sql(z, "tile_x", "tile_y"))
     )

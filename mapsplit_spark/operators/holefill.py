@@ -21,9 +21,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# bbox guard: real geometries (ways) are spatially local — a 256×256-tile
-# footprint is far beyond any reference fixture; bigger means "scattered"
-MAX_GRID_CELLS = 1 << 16
+# bbox guard: the fill grid is ~1 byte/cell and the dilation sweep is
+# O(cells × diameter) worst-case, so cap at 16M cells (4096×4096 tiles —
+# a way spanning a third of the planet at z13; the reference BitSet has
+# the same asymptotics, MapSplit.java:280-296).  Groups above the cap
+# are SKIPPED and reported by fill_holes (never silently) — such
+# near-planetary scattered "geometries" enclose nothing meaningful.
+MAX_GRID_CELLS = 1 << 24
 
 
 def _fill_one(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int]]:
@@ -31,38 +35,39 @@ def _fill_one(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int]]:
     pad-2 bbox, outside flood fill from (1,1) over a 4-neighbourhood
     restricted to rows/cols ≥ 1, unreached unmarked cells are holes).
 
-    Vectorized: the outside region is grown by whole-grid boolean
-    dilations (O(cells) per sweep, ~perimeter sweeps) instead of a
-    cell-at-a-time BFS — same fixpoint, orders of magnitude faster on
-    large grids.
+    Frontier BFS on flat index arrays — O(cells) TOTAL like the
+    reference's BitSet BFS (MapSplit.java:299-326); a whole-grid
+    dilation sweep would be O(cells × diameter), minutes on the
+    near-cap grids the bbox guard admits.
     """
     min_x, max_x = xs.min() - 2, xs.max() + 2
     min_y, max_y = ys.min() - 2, ys.max() + 2
     sx = int(max_x - min_x + 1)
     sy = int(max_y - min_y + 1)
-    if sx * sy > MAX_GRID_CELLS:
-        # Degenerate input: member tiles scattered across a near-planetary
-        # bbox (the reference only ever fills spatially-local ways; its
-        # BitSet would explode identically).  A geometry that sparse
-        # encloses nothing meaningful — skip the fill.
-        return []
-    grid = np.zeros((sy, sx), dtype=bool)
-    grid[ys - min_y, xs - min_x] = True
-    outside = np.zeros_like(grid)
-    outside[1, 1] = not grid[1, 1]  # seed, matching BFS start at (1,1)
-    while True:
-        nxt = np.zeros_like(outside)
-        nxt[1:, :] |= outside[:-1, :]
-        nxt[:-1, :] |= outside[1:, :]
-        nxt[:, 1:] |= outside[:, :-1]
-        nxt[:, :-1] |= outside[:, 1:]
-        nxt[0, :] = False  # reference never propagates into row/col 0
-        nxt[:, 0] = False
-        new = nxt & ~grid & ~outside
-        if not new.any():
-            break
-        outside |= new
+    grid = np.zeros(sy * sx, dtype=bool)
+    grid[(ys - min_y) * sx + (xs - min_x)] = True
+    outside = np.zeros(sy * sx, dtype=bool)
+    seed = 1 * sx + 1  # BFS starts at (1,1)
+    frontier = np.empty(0, dtype=np.int64)
+    if not grid[seed]:
+        outside[seed] = True
+        frontier = np.array([seed], dtype=np.int64)
+    while frontier.size:
+        col = frontier % sx
+        row = frontier // sx
+        # 4-neighbourhood, never into row/col 0 (reference :311-316)
+        cand = np.concatenate([
+            frontier[col > 1] - 1,
+            frontier[col < sx - 1] + 1,
+            frontier[row > 1] - sx,
+            frontier[row < sy - 1] + sx,
+        ])
+        cand = np.unique(cand)
+        cand = cand[~outside[cand] & ~grid[cand]]
+        outside[cand] = True
+        frontier = cand
     holes = ~grid & ~outside
+    holes = holes.reshape(sy, sx)
     holes[0, :] = False
     holes[:, 0] = False
     hy, hx = np.where(holes)
@@ -79,11 +84,26 @@ def fill_holes(group_tiles: DataFrame, group_col: str = "group_id",
     src = group_tiles.select(
         F.col(group_col).alias("group_id"), "tile_x", "tile_y"
     )
-    big = (
-        src.groupBy("group_id").count()
-        .filter(F.col("count") >= min_tiles)
-        .select("group_id")
-    )
+    # one row per group — materialized once (localCheckpoint) so the
+    # cap report and the semi-join below share the single agg pass
+    stats = src.groupBy("group_id").agg(
+        F.count("*").alias("n"),
+        (F.max("tile_x") - F.min("tile_x") + 5).alias("sx"),
+        (F.max("tile_y") - F.min("tile_y") + 5).alias("sy"),
+    ).filter(F.col("n") >= min_tiles).localCheckpoint(eager=True)
+    big = stats.filter(F.col("sx") * F.col("sy") <= MAX_GRID_CELLS).select("group_id")
+    skipped = stats.filter(F.col("sx") * F.col("sy") > MAX_GRID_CELLS)
+    n_skipped = skipped.count()
+    if n_skipped:
+        # never silent: the reference fills every ≥8-tile way; we refuse
+        # only near-planetary scattered groups (grid > MAX_GRID_CELLS)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fill_holes: skipped %d group(s) with bbox grid > %d cells: %s",
+            n_skipped, MAX_GRID_CELLS,
+            [r.group_id for r in skipped.select("group_id").limit(10).collect()],
+        )
     candidates = src.join(big, "group_id")  # AQE picks broadcast when small
 
     def patch(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -86,7 +86,11 @@ def tile_mosaics(tile_images: DataFrame, cell: int = 16, grid: int = 8) -> DataF
     nearest-neighbour-resized to ``cell``², at most ``grid``² members.
     → (tile_x, tile_y, n_members, mosaic: binary png-stub)."""
 
+    with_zoom = "zoom" in tile_images.columns  # multi-zoom (optimized) runs
+    keys = (["zoom"] if with_zoom else []) + ["tile_x", "tile_y"]
+
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        head = {k: [pdf[k].iloc[0]] for k in keys}
         pdf = pdf.sort_values("image_id").head(grid * grid)
         canvas = np.zeros((cell * grid, cell * grid, 3), dtype=np.uint8)
         for i, r in enumerate(pdf.itertuples(index=False)):
@@ -96,11 +100,31 @@ def tile_mosaics(tile_images: DataFrame, cell: int = 16, grid: int = 8) -> DataF
             ry, rx = divmod(i, grid)
             canvas[ry * cell:(ry + 1) * cell, rx * cell:(rx + 1) * cell] = px[sy][:, sx]
         return pd.DataFrame({
-            "tile_x": [pdf["tile_x"].iloc[0]], "tile_y": [pdf["tile_y"].iloc[0]],
+            **head,
             "n_members": [len(pdf)],
             "mosaic": [imaging.encode_image(canvas, "png")],
         })
 
-    return tile_images.groupBy("tile_x", "tile_y").applyInPandas(
-        assemble, "tile_x long, tile_y long, n_members long, mosaic binary"
-    )
+    schema = ("zoom int, " if with_zoom else "") + \
+        "tile_x long, tile_y long, n_members long, mosaic binary"
+    return tile_images.groupBy(*keys).applyInPandas(assemble, schema)
+
+
+def validate_payload_metadata(images: DataFrame,
+                              required=("bytes", "w", "h", "fmt", "caption")) -> None:
+    """P4 fail-fast metadata validation (checkMetadata,
+    MapSplit.java:700-704: abort the -m run when an entity carries no
+    version/timestamp).  Our analog: a --payload run aborts when any
+    required payload column is NULL — one cheap aggregate, evaluated
+    before the expensive materialization stage."""
+    from pyspark.sql import functions as F
+
+    counts = images.agg(*[
+        F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in required
+    ]).collect()[0].asDict()
+    bad = {c: n for c, n in counts.items() if n > 0}
+    if bad:
+        raise ValueError(
+            f"payload metadata validation failed — NULLs in {bad}; "
+            "refusing to materialize (reference parity: checkMetadata abort)"
+        )

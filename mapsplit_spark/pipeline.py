@@ -73,28 +73,43 @@ def _write_stage(df: DataFrame, stage: str, stage_dir: str, cfg_hash: str,
 
 
 class TilingPipeline:
-    """assign → [clip] → [optimize] → manifests, checkpointed per stage."""
+    """assign → [sessions] → [clip] → [optimize] → manifests,
+    checkpointed per stage."""
 
-    STAGES = ("assign", "clip", "manifests")
+    STAGES = ("assign", "sessions", "clip", "manifests")
 
     def __init__(self, spark: SparkSession, workdir: str, *, zoom: int = 13,
                  border: float = 0.1, id_col: str = "image_id",
                  lon_col: str = "lon", lat_col: str = "lat",
                  poly_path: str | None = None, poly_id: str | None = None,
-                 node_limit: int = 0):
+                 node_limit: int = 0, sessions_path: str | None = None,
+                 complete_sessions: bool = False,
+                 multipolygon_only: bool = False):
         self.spark = spark
         self.workdir = workdir
         self.cfg = {
             "zoom": zoom, "border": border, "id_col": id_col,
             "lon_col": lon_col, "lat_col": lat_col,
             "poly_path": poly_path, "poly_id": poly_id,
-            "node_limit": node_limit,
+            "node_limit": node_limit, "sessions_path": sessions_path,
+            "complete_sessions": complete_sessions,
+            "multipolygon_only": multipolygon_only,
         }
         self.cfg_hash = _cfg_hash(self.cfg)
         os.makedirs(workdir, exist_ok=True)
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
+
+    def last_assignment_dir(self) -> str:
+        """Stage dir holding the final (element_id, tile_x, tile_y)
+        assignment relation — clip if clipping, else sessions, else
+        assign (for downstream payload/raster joins)."""
+        if self.cfg["poly_path"]:
+            return self._dir("clip")
+        if self.cfg["sessions_path"]:
+            return self._dir("sessions")
+        return self._dir("assign")
 
     def run(self, input_path: str) -> DataFrame:
         """Execute (or resume) the pipeline; returns the manifest table."""
@@ -112,6 +127,22 @@ class TilingPipeline:
             )
             _write_stage(pairs, "assign", assign_dir, self.cfg_hash, lineage)
         last_dir = assign_dir
+
+        if self.cfg["sessions_path"]:
+            from .operators.sessions import session_assignments
+
+            ses_dir = self._dir("sessions")
+            if not _stage_done(ses_dir, self.cfg_hash):
+                pairs = self.spark.read.parquet(os.path.join(last_dir, "data"))
+                sessions = self.spark.read.parquet(self.cfg["sessions_path"])
+                aug = session_assignments(
+                    pairs, sessions,
+                    complete=self.cfg["complete_sessions"],
+                    multipolygon_only=self.cfg["multipolygon_only"],
+                )
+                _write_stage(aug, "sessions", ses_dir, self.cfg_hash,
+                             {**lineage, "upstream": last_dir})
+            last_dir = ses_dir
 
         if self.cfg["poly_path"]:
             from .operators.clip import clip_assignments, clip_tiles, load_rings
@@ -136,10 +167,8 @@ class TilingPipeline:
 
                 merged = merged_assignments(pairs, self.cfg["zoom"],
                                             self.cfg["node_limit"])
-                man = merged.groupBy("zoom", "tile_x", "tile_y").agg(
-                    F.array_sort(F.collect_list("element_id")).alias("element_ids"),
-                    F.count("*").alias("n"),
-                )
+                # merged is distinct by construction; salted two-phase agg
+                man = tile_manifests(merged, self.cfg["zoom"], assume_distinct=True)
             else:
                 man = tile_manifests(pairs, self.cfg["zoom"], assume_distinct=True)
             _write_stage(man, "manifests", man_dir, self.cfg_hash,

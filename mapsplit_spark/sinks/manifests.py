@@ -34,19 +34,22 @@ def tile_manifests(assignments: DataFrame, zoom: int, n_salts: int = 8,
     there to skip the dedupe shuffle (1 of 3 exchanges, ~1/3 of shuffled
     bytes); leave False after union-style propagation (J2/J5/J6).
     """
+    # a per-row ``zoom`` column (multi-zoom optimized runs) joins the
+    # grouping keys; otherwise the single configured zoom is attached
+    zoom_keys = ["zoom"] if "zoom" in assignments.columns else []
     distinct = assignments if assume_distinct else \
-        assignments.dropDuplicates([id_col, "tile_x", "tile_y"])
+        assignments.dropDuplicates([id_col, *zoom_keys, "tile_x", "tile_y"])
     salted = distinct.withColumn(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
     )
-    partial = salted.groupBy("tile_x", "tile_y", "salt").agg(
+    partial = salted.groupBy(*zoom_keys, "tile_x", "tile_y", "salt").agg(
         F.collect_list(id_col).alias("chunk")
     )
     return (
-        partial.groupBy("tile_x", "tile_y")
+        partial.groupBy(*zoom_keys, "tile_x", "tile_y")
         .agg(F.array_sort(F.flatten(F.collect_list("chunk"))).alias("element_ids"))
         .select(
-            F.lit(zoom).alias("zoom"),
+            F.col("zoom") if zoom_keys else F.lit(zoom).alias("zoom"),
             "tile_x",
             "tile_y",
             "element_ids",

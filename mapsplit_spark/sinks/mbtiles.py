@@ -137,10 +137,11 @@ def export_raster_mbtiles(spark, mosaics: DataFrame, path: str, zoom: int,
     """Raster path: per-tile mosaic image blobs (operators/multimodal.
     tile_mosaics) — the raster side of the north star's raster↔vector
     tile rendering.  Same TMS flip + metadata layout."""
+    with_zoom = "zoom" in mosaics.columns  # multi-zoom (optimized) runs
     rows = mosaics.collect()
-    out = [
-        (zoom, r.tile_x, (1 << zoom) - r.tile_y - 1, bytes(r.mosaic))
-        for r in rows
-    ]
-    _write_sqlite(path, out, RASTER_FORMAT, {zoom}, zoom, latest_date_ms,
-                  "raster tile mosaics from mapsplit_spark")
+    out = []
+    for r in rows:
+        z = int(r.zoom) if with_zoom else zoom
+        out.append((z, r.tile_x, (1 << z) - r.tile_y - 1, bytes(r.mosaic)))
+    _write_sqlite(path, out, RASTER_FORMAT, {o[0] for o in out} or {zoom},
+                  zoom, latest_date_ms, "raster tile mosaics from mapsplit_spark")

@@ -1,0 +1,164 @@
+"""CLI e2e: --sessions/--complete-sessions stage wiring, the
+appointment-date round trip (S5/P3/A4, MapSplit.java:1506-1547), P4
+payload fail-fast, and merged-zoom output-key agreement under
+--optimize (payload tiles must carry the SAME tile identity as the
+optimized manifests)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from jobs.split_job import main as split_main
+
+
+def _run(argv, capsys) -> dict:
+    split_main(argv)
+    out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    return json.loads(out[-1])
+
+
+@pytest.fixture(scope="module")
+def outbase(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def test_sessions_mode_e2e(spark, images_dir, outbase, capsys):
+    """--sessions --complete-sessions runs J1-J6 + hole fill in the
+    production path; manifests contain point, session, and collection
+    element ids and agree with the session_assignments operator."""
+    out = os.path.join(outbase, "ses")
+    _run([
+        "--input", f"{images_dir}/images.parquet",
+        "--output", out,
+        "--sessions", f"{images_dir}/sessions.parquet",
+        "--complete-sessions",
+        "--zoom", "13", "--border", "0.1",
+    ], capsys)
+    man = spark.read.parquet(os.path.join(out, "manifests"))
+    ids = set(man.selectExpr("explode(element_ids) AS e").toPandas()["e"])
+    assert any(i.startswith("ses") for i in ids), "session rows missing from manifests"
+    assert any(i.startswith("col") for i in ids), "collection rows missing"
+    assert any(i.startswith("img") for i in ids)
+
+    # operator-level cross-check: same relation as session_assignments
+    from mapsplit_spark.operators.assign import assign_and_expand
+    from mapsplit_spark.operators.sessions import session_assignments
+
+    imgs = spark.read.parquet(f"{images_dir}/images.parquet")
+    pairs = assign_and_expand(imgs.select("image_id", "lon", "lat"),
+                              "image_id", "lon", "lat", 13, 0.1)
+    expect = session_assignments(
+        pairs, spark.read.parquet(f"{images_dir}/sessions.parquet"), complete=True
+    )
+    got_pairs = man.selectExpr("tile_x", "tile_y", "explode(element_ids) AS element_id")
+    assert {tuple(r) for r in got_pairs.collect()} == \
+        {(r.tile_x, r.tile_y, r.element_id) for r in expect.collect()}
+
+
+def test_date_file_round_trip(spark, images_dir, outbase, capsys):
+    """Full run writes latestDate back; an incremental run against a
+    mid-range appointment date materializes ONLY modified tiles, and
+    those manifests are identical to the full run's for the same tiles."""
+    full_out = os.path.join(outbase, "full")
+    date_file = os.path.join(outbase, "latest.date")
+    r1 = _run([
+        "--input", f"{images_dir}/images.parquet", "--output", full_out,
+        "--zoom", "13", "--border", "0.1", "--date-file", date_file,
+    ], capsys)
+    assert not r1["incremental"]
+    latest = int(open(date_file).read())
+    assert latest == r1["latest_date_ms"] > 0
+
+    # appointment date = median ts → roughly half the elements are newer
+    imgs = spark.read.parquet(f"{images_dir}/images.parquet")
+    mid = imgs.approxQuantile("ts_ms", [0.5], 0.0)[0]
+    with open(date_file, "w") as fh:
+        fh.write(str(int(mid)))
+    inc_out = os.path.join(outbase, "inc")
+    r2 = _run([
+        "--input", f"{images_dir}/images.parquet", "--output", inc_out,
+        "--zoom", "13", "--border", "0.1", "--date-file", date_file,
+    ], capsys)
+    assert r2["incremental"]
+    assert int(open(date_file).read()) == r1["latest_date_ms"]  # write-back
+
+    full = spark.read.parquet(os.path.join(full_out, "manifests"))
+    inc = spark.read.parquet(os.path.join(inc_out, "manifests"))
+    assert 0 < inc.count() < full.count()
+    # every incremental tile's manifest is byte-identical to the full run
+    key = ["zoom", "tile_x", "tile_y"]
+    joined = inc.alias("i").join(full.alias("f"), key)
+    assert joined.count() == inc.count()
+    diff = joined.filter("i.element_ids <> f.element_ids OR i.n <> f.n")
+    assert diff.count() == 0
+    # and each incremental tile really contains a newer element
+    newer = {r.image_id for r in imgs.filter(f"ts_ms > {int(mid)}").collect()}
+    for r in inc.collect():
+        assert any(e in newer for e in r.element_ids)
+
+
+def test_payload_metadata_fail_fast(spark, images_dir, outbase, capsys):
+    """P4: --payload aborts when required metadata columns are NULL
+    (checkMetadata parity, MapSplit.java:700-704)."""
+    from pyspark.sql import functions as F
+
+    broken = spark.read.parquet(f"{images_dir}/images.parquet").withColumn(
+        "caption", F.when(F.col("image_id").endswith("3"), None)
+        .otherwise(F.col("caption"))
+    )
+    bad_dir = os.path.join(outbase, "bad_input")
+    broken.write.mode("overwrite").parquet(bad_dir)
+    with pytest.raises(ValueError, match="metadata validation failed"):
+        split_main([
+            "--input", bad_dir, "--output", os.path.join(outbase, "bad_out"),
+            "--zoom", "13", "--payload",
+        ])
+
+
+def test_optimize_payload_keys_match_manifests(spark, images_dir, outbase, capsys):
+    """Under --optimize, payload tiles must be keyed by the MERGED
+    (zoom, x, y) — the same tile identity the manifests carry
+    (optimizedModifiedTiles parity), not the base zoom."""
+    out = os.path.join(outbase, "opt")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--border", "0.1", "--optimize", "5", "--payload",
+    ], capsys)
+    man = spark.read.parquet(os.path.join(out, "manifests"))
+    man_keys = {(r.zoom, r.tile_x, r.tile_y) for r in man.collect()}
+    assert len({z for z, _, _ in man_keys}) > 1, "fixture must actually merge"
+    tiles = spark.read.parquet(os.path.join(out, "tiles"))
+    got = {
+        (r.tile_id >> 32, (r.tile_id >> 16) & 0xFFFF, r.tile_id & 0xFFFF)
+        for r in tiles.select("tile_id").distinct().collect()
+    }
+    assert got == man_keys
+
+
+def test_pipeline_resume_with_sessions_stage(spark, images_dir, outbase):
+    """Kill/resume over the new sessions stage: a second run with the
+    same config recomputes nothing (markers honored) and an invalidated
+    downstream stage is rebuilt to identical manifests."""
+    import shutil
+
+    from mapsplit_spark.pipeline import TilingPipeline
+
+    work = os.path.join(outbase, "work_ses")
+    kw = dict(zoom=13, border=0.1, sessions_path=f"{images_dir}/sessions.parquet",
+              complete_sessions=True)
+    pipe = TilingPipeline(spark, work, **kw)
+    m1 = pipe.run(f"{images_dir}/images.parquet").toPandas().sort_values(
+        ["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+    assert os.path.exists(os.path.join(work, "sessions", "_STAGE_OK"))
+    ses_mtime = os.path.getmtime(os.path.join(work, "sessions", "_STAGE_OK"))
+
+    # resume: manifests stage invalidated, sessions stage untouched
+    shutil.rmtree(os.path.join(work, "manifests"))
+    m2 = TilingPipeline(spark, work, **kw).run(
+        f"{images_dir}/images.parquet").toPandas().sort_values(
+        ["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+    assert os.path.getmtime(os.path.join(work, "sessions", "_STAGE_OK")) == ses_mtime
+    assert m1.equals(m2)
