@@ -12,6 +12,16 @@ parallel, keyed by group id; the only shuffle is the groupBy.  Groups
 below the ≥ 8-tile trigger are filtered out BEFORE the shuffle (a
 map-side count aggregation), so at 100 TB the expensive path sees only
 the tiny fraction of large geometries.
+
+Scale: the fill runs on a COORDINATE-COMPRESSED grid (every member
+coordinate ±1 plus the padded bbox edges).  Compression preserves
+4-connectivity exactly — every maximal member-free row/column strip
+keeps one representative — so the result is bit-equal to the
+reference's full-bbox BFS, but per-group cost is O(n² + holes) in the
+group's TILE COUNT, independent of its bbox: a planet-wide scattered
+geometry costs the same as a local one (the full-grid formulation is
+O(bbox cells) and melts down on scattered groups at z13).  Hole cells
+expand back to real-coordinate rectangles on output.
 """
 
 from __future__ import annotations
@@ -21,41 +31,38 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# bbox guard: the fill grid is ~1 byte/cell and the dilation sweep is
-# O(cells × diameter) worst-case, so cap at 16M cells (4096×4096 tiles —
-# a way spanning a third of the planet at z13; the reference BitSet has
-# the same asymptotics, MapSplit.java:280-296).  Groups above the cap
-# are SKIPPED and reported by fill_holes (never silently) — such
-# near-planetary scattered "geometries" enclose nothing meaningful.
-MAX_GRID_CELLS = 1 << 24
+
+def _compress(vals: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Sorted unique coordinates: members ±1 plus the pad-2 bbox edges —
+    one representative per maximal member-free strip."""
+    return np.unique(np.concatenate([vals - 1, vals, vals + 1, [lo, hi]]))
 
 
 def _fill_one(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int]]:
-    """Holes for one geometry's member tiles (the checkAndFill algorithm:
-    pad-2 bbox, outside flood fill from (1,1) over a 4-neighbourhood
-    restricted to rows/cols ≥ 1, unreached unmarked cells are holes).
-
-    Frontier BFS on flat index arrays — O(cells) TOTAL like the
-    reference's BitSet BFS (MapSplit.java:299-326); a whole-grid
-    dilation sweep would be O(cells × diameter), minutes on the
-    near-cap grids the bbox guard admits.
-    """
-    min_x, max_x = xs.min() - 2, xs.max() + 2
-    min_y, max_y = ys.min() - 2, ys.max() + 2
-    sx = int(max_x - min_x + 1)
-    sy = int(max_y - min_y + 1)
+    """Holes for one geometry's member tiles (the checkAndFill algorithm
+    on the compressed grid: outside flood fill from compressed (1,1)
+    over a 4-neighbourhood restricted to rows/cols ≥ 1, unreached
+    unmarked cells are holes, expanded back to real rectangles)."""
+    min_x, max_x = int(xs.min()) - 2, int(xs.max()) + 2
+    min_y, max_y = int(ys.min()) - 2, int(ys.max()) + 2
+    cx = _compress(xs, min_x, max_x)
+    cy = _compress(ys, min_y, max_y)
+    sx, sy = len(cx), len(cy)
+    gx = np.searchsorted(cx, xs)
+    gy = np.searchsorted(cy, ys)
     grid = np.zeros(sy * sx, dtype=bool)
-    grid[(ys - min_y) * sx + (xs - min_x)] = True
+    grid[gy * sx + gx] = True
+
     outside = np.zeros(sy * sx, dtype=bool)
-    seed = 1 * sx + 1  # BFS starts at (1,1)
+    seed = 1 * sx + 1  # compressed (1,1) == real (min+1, min+1): cx[1]=min_x+1
     frontier = np.empty(0, dtype=np.int64)
     if not grid[seed]:
         outside[seed] = True
         frontier = np.array([seed], dtype=np.int64)
-    while frontier.size:
+    while frontier.size:  # frontier BFS: O(cells) total like the BitSet BFS
         col = frontier % sx
         row = frontier // sx
-        # 4-neighbourhood, never into row/col 0 (reference :311-316)
+        # 4-neighbourhood, never into row/col 0 (MapSplit.java:311-316)
         cand = np.concatenate([
             frontier[col > 1] - 1,
             frontier[col < sx - 1] + 1,
@@ -66,12 +73,21 @@ def _fill_one(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int]]:
         cand = cand[~outside[cand] & ~grid[cand]]
         outside[cand] = True
         frontier = cand
-    holes = ~grid & ~outside
-    holes = holes.reshape(sy, sx)
+
+    holes = (~grid & ~outside).reshape(sy, sx)
     holes[0, :] = False
     holes[:, 0] = False
     hy, hx = np.where(holes)
-    return [(int(x + min_x), int(y + min_y)) for x, y in zip(hx, hy)]
+    out: list[tuple[int, int]] = []
+    for j, i in zip(hy, hx):
+        # compressed hole cell (i, j) ⇒ the member-free real rectangle
+        # [cx[i], cx[i+1]) × [cy[j], cy[j+1]) is entirely enclosed
+        x_hi = cx[i + 1] if i + 1 < sx else cx[i] + 1
+        y_hi = cy[j + 1] if j + 1 < sy else cy[j] + 1
+        for x in range(int(cx[i]), int(x_hi)):
+            for y in range(int(cy[j]), int(y_hi)):
+                out.append((x, y))
+    return out
 
 
 def fill_holes(group_tiles: DataFrame, group_col: str = "group_id",
@@ -84,26 +100,11 @@ def fill_holes(group_tiles: DataFrame, group_col: str = "group_id",
     src = group_tiles.select(
         F.col(group_col).alias("group_id"), "tile_x", "tile_y"
     )
-    # one row per group — materialized once (localCheckpoint) so the
-    # cap report and the semi-join below share the single agg pass
-    stats = src.groupBy("group_id").agg(
-        F.count("*").alias("n"),
-        (F.max("tile_x") - F.min("tile_x") + 5).alias("sx"),
-        (F.max("tile_y") - F.min("tile_y") + 5).alias("sy"),
-    ).filter(F.col("n") >= min_tiles).localCheckpoint(eager=True)
-    big = stats.filter(F.col("sx") * F.col("sy") <= MAX_GRID_CELLS).select("group_id")
-    skipped = stats.filter(F.col("sx") * F.col("sy") > MAX_GRID_CELLS)
-    n_skipped = skipped.count()
-    if n_skipped:
-        # never silent: the reference fills every ≥8-tile way; we refuse
-        # only near-planetary scattered groups (grid > MAX_GRID_CELLS)
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "fill_holes: skipped %d group(s) with bbox grid > %d cells: %s",
-            n_skipped, MAX_GRID_CELLS,
-            [r.group_id for r in skipped.select("group_id").limit(10).collect()],
-        )
+    big = (
+        src.groupBy("group_id").count()
+        .filter(F.col("count") >= min_tiles)
+        .select("group_id")
+    )
     candidates = src.join(big, "group_id")  # AQE picks broadcast when small
 
     def patch(pdf: pd.DataFrame) -> pd.DataFrame:

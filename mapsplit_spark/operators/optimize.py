@@ -74,33 +74,53 @@ def compute_zoom_map(counts: dict[tuple[int, int], int], zoom: int,
     return zoom_map
 
 
-def zoom_map_df(counts: DataFrame, zoom: int, node_limit: int) -> DataFrame:
+def zoom_map_df(counts: DataFrame, zoom: int, node_limit: int,
+                n_buckets: int = 256) -> DataFrame:
     """Distributed merge walk: counts(tile_x, tile_y, n) →
     (mx, my, new_zoom) for merged tiles only.
 
-    groupBy (x>>4, y>>4) superblock + the identical per-block walk —
-    bit-equal to the global walk (see module docstring) with no driver
-    collect; output cardinality = merged tiles only.
+    Superblocks ((x>>4, y>>4) blocks) are independent, so the walk
+    shards perfectly — but one applyInPandas GROUP per superblock pays
+    ~1 ms of Arrow/pandas overhead × millions of superblocks at planet
+    scale.  Instead superblocks hash into ``n_buckets`` groups (one
+    Python call each, superblocks co-located by construction) and each
+    call walks its superblocks locally: singleton superblocks take a
+    vectorized shortcut (an under-limit tile alone in its level-4 block
+    always merges at the deepest level, zoom−4 — the walk never finds a
+    sibling), the rest run the identical pure-Python walk.  Bit-equal to
+    the global driver walk; no driver collect.
     """
     import pandas as pd
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        stats = dict(zip(zip(pdf["tile_x"], pdf["tile_y"]), pdf["n"]))
-        zmap = compute_zoom_map(stats, zoom, node_limit)
-        return pd.DataFrame(
-            {"mx": [k[0] for k in zmap], "my": [k[1] for k in zmap],
-             "new_zoom": [int(v) for v in zmap.values()]}
-        )
+    deepest = zoom - (MAX_ZOOM_OUT_DIFF - 1)
 
-    return (
-        counts.groupBy(
-            F.shiftright("tile_x", _SUPER_SHIFT).alias("sbx"),
-            F.shiftright("tile_y", _SUPER_SHIFT).alias("sby"),
-        )
-        .applyInPandas(
-            lambda key, pdf: walk(pdf),
-            "mx long, my long, new_zoom int",
-        )
+    def walk_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        sizes = pdf.groupby(["sbx", "sby"])["n"].transform("size")
+        single = pdf[sizes == 1]
+        merged = single[single["n"] < node_limit]
+        out_x = merged["tile_x"].tolist()
+        out_y = merged["tile_y"].tolist()
+        out_z = [deepest] * len(out_x)
+        multi = pdf[sizes > 1]
+        for _, g in multi.groupby(["sbx", "sby"], sort=False):
+            stats = dict(zip(zip(g["tile_x"], g["tile_y"]), g["n"]))
+            for (x, y), z in compute_zoom_map(stats, zoom, node_limit).items():
+                out_x.append(x)
+                out_y.append(y)
+                out_z.append(z)
+        return pd.DataFrame({
+            "mx": pd.Series(out_x, dtype="int64"),
+            "my": pd.Series(out_y, dtype="int64"),
+            "new_zoom": pd.Series(out_z, dtype="int32"),
+        })
+
+    bucketed = counts.withColumns({
+        "sbx": F.shiftright("tile_x", _SUPER_SHIFT),
+        "sby": F.shiftright("tile_y", _SUPER_SHIFT),
+    }).withColumn("bucket", F.pmod(F.xxhash64("sbx", "sby"), F.lit(n_buckets)))
+    return bucketed.groupBy("bucket").applyInPandas(
+        lambda key, pdf: walk_bucket(pdf),
+        "mx long, my long, new_zoom int",
     )
 
 

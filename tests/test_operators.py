@@ -225,12 +225,11 @@ def test_merged_assignments_rekey_and_dedupe(spark):
     assert got2 == {("e1", ZOOM, 10, 10), ("e1", ZOOM, 11, 10), ("e2", ZOOM, 10, 10)}
 
 
-def test_holefill_reports_scattered_groups(spark, caplog):
-    """Groups with a bbox beyond MAX_GRID_CELLS are skipped LOUDLY (a
-    warning naming the group) and pass through unpatched; normal groups
-    in the same call still fill."""
-    import logging
-
+def test_holefill_handles_scattered_groups_exactly(spark):
+    """Planet-scale scattered groups run through the SAME compressed-grid
+    fill (no bbox cap, no skip): sparse scatter encloses nothing, and a
+    local ring in the same call still fills — per-group cost is bounded
+    by tile count, not bbox (coordinate compression)."""
     ring = [(1000 + dx, 2000) for dx in range(5)] + \
            [(1000 + dx, 2004) for dx in range(5)] + \
            [(1000, 2000 + dy) for dy in range(5)] + \
@@ -239,10 +238,8 @@ def test_holefill_reports_scattered_groups(spark, caplog):
                 [("far", i * 7919 % 60000, i * 104729 % 60000) for i in range(10)]
     rows = [("ring", x, y) for x, y in ring] + scattered
     df = spark.createDataFrame(rows, "group_id string, tile_x long, tile_y long")
-    with caplog.at_level(logging.WARNING):
-        got = fill_holes(df).collect()
-    assert any("skipped 1 group" in r.message for r in caplog.records)
+    got = fill_holes(df).collect()
     far = {(r.tile_x, r.tile_y) for r in got if r.group_id == "far"}
-    assert far == {(x, y) for _, x, y in scattered}  # unpatched, not dropped
+    assert far == {(x, y) for _, x, y in scattered}  # nothing enclosed
     ring_got = {(r.tile_x, r.tile_y) for r in got if r.group_id == "ring"}
-    assert ring_got > set(ring)  # interior holes filled
+    assert ring_got == set(ring) | oracle.hole_fill(set(ring))
