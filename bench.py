@@ -36,8 +36,16 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "node_backfill",
         "modified_tiles",
         "knn",
+        "knn_tiled",            # tile-ring scale path + coverage-proof escalation
         "clip_convex",
+        "clip_ring",            # concave even-odd corner clip (numpy kernel)
         "tile_bounds",
+        "tile_merge",           # distributed superblock merge walk
+        "relation_tiles",       # J3/J4 fixed point, 3-level nesting
+        "complete_rel",         # J5/J6 down-propagation
+        "session_holefill",     # compressed-grid flood fill
+        "mbtiles_rows",         # TMS flip + blob construction
+        "lsh_near_dup",         # MinHash-LSH scale path e2e
         "doc_token_stats",
         "doc_quality",
         "doc_fingerprint",
@@ -121,12 +129,34 @@ def main() -> None:
         # sized so compute dominates fixed overhead (BASELINE.md).
         # defaults: 1×2 → 4×2 executors — the 4N level stays within this
         # VM's reliable JVM-thread budget (see BASELINE.md probes); scale
-        # up via env on real hardware
+        # up via env on real hardware.
+        # Each level runs in a FRESH subprocess (round-2 fix): measuring
+        # both clusters inside one driver process left the second level
+        # 1.5-2.5× slower on this VM (lingering JVM/OS state) — the
+        # interleaved best-of-2 subprocess protocol reproduces within
+        # ~10% where the in-process ladder swung E between 0.50 and 1.2.
+        import subprocess
+
         n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"))
         n_exec = int(os.environ.get("SPARK_GRAFT_EXECS", "1"))
         cores_per = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
-        t_low = cluster_flagship_time(n_exec, cores_per, n)
-        t_high = cluster_flagship_time(4 * n_exec, cores_per, n)
+
+        def level_time(execs: int) -> float:
+            code = (
+                "import bench, sys; "
+                f"sys.stdout.write(str(bench.cluster_flagship_time({execs}, {cores_per}, {n})))"
+            )
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip().splitlines()[-1]
+            return float(out)
+
+        t_low, t_high = float("inf"), float("inf")
+        for _ in range(2):  # interleave levels; best per level
+            t_low = min(t_low, level_time(n_exec))
+            t_high = min(t_high, level_time(4 * n_exec))
         eff = (n / t_high) / (4 * (n / t_low))
         print(json.dumps({
             "metric": "scaling efficiency (N→4N executors, flagship tile-split)",

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "written back after the run (MapSplit.java:1506-1547)")
     p.add_argument("--ts-col", default="ts_ms",
                    help="epoch-ms timestamp column driving --date-file")
+    p.add_argument("--tile-files", metavar="DIR",
+                   help="also write one JSON manifest file per tile under DIR")
+    p.add_argument("--tile-template", default="%z/%x_%y.json",
+                   help="per-tile path template with %%x %%y %%z "
+                        "(MapSplit.java:1211-1219)")
     p.add_argument("--mbtiles", help="also export an MBTiles file (manifest blobs)")
     p.add_argument("--raster-mbtiles",
                    help="also export raster MBTiles (per-tile mosaics from bytes)")
@@ -165,6 +170,11 @@ def main(argv=None) -> None:
             src, tiled["element_id"] == src[args.id_col]
         ).drop(args.id_col)
         write_tiles(payload, os.path.join(args.output, "tiles"), args.zoom)
+
+    if args.tile_files:
+        from mapsplit_spark.sinks.tilefiles import export_tile_files
+
+        export_tile_files(manifests, args.tile_files, args.tile_template)
 
     if args.mbtiles:
         from mapsplit_spark.sinks.mbtiles import export_mbtiles

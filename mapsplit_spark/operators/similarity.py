@@ -102,9 +102,12 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
     them.  At 100 TB the corpus is written bucketed by ivf_cell, making
     the probe join partition-pruned; the centroid model is a tiny
     driver-side artifact (trained once on a sample, broadcast)."""
+    # deterministic sample: ordered by id (a bare LIMIT's row order is
+    # partition-order-dependent and would make the centroid model — and
+    # thus the probe sets — run-dependent)
     sample = np.stack([
         np.asarray(r[vec_c], dtype=np.float64)
-        for r in corpus.select(vec_c).limit(sample_rows).collect()
+        for r in corpus.select(id_c, vec_c).orderBy(id_c).limit(sample_rows).collect()
     ])
     centroids = _kmeans_centroids(sample, n_clusters)
     c = centroids

@@ -162,3 +162,25 @@ def test_pipeline_resume_with_sessions_stage(spark, images_dir, outbase):
         ["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
     assert os.path.getmtime(os.path.join(work, "sessions", "_STAGE_OK")) == ses_mtime
     assert m1.equals(m2)
+
+
+def test_tile_files_template_output(spark, images_dir, outbase, capsys):
+    """--tile-files writes one addressable JSON per tile at the %x/%y/%z
+    template path (MapSplit.java:1211-1219), content matching the
+    manifest row exactly."""
+    out = os.path.join(outbase, "tf")
+    tiles_dir = os.path.join(outbase, "tf_files")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--border", "0.1",
+        "--tile-files", tiles_dir, "--tile-template", "%z/%x_%y.json",
+    ], capsys)
+    man = spark.read.parquet(os.path.join(out, "manifests")).collect()
+    assert man
+    for r in man:
+        p = os.path.join(tiles_dir, str(r.zoom), f"{r.tile_x}_{r.tile_y}.json")
+        assert os.path.exists(p), p
+        blob = json.load(open(p))
+        assert blob["ids"] == sorted(r.element_ids) and blob["n"] == r.n
+    n_files = sum(len(fs) for _, _, fs in os.walk(tiles_dir))
+    assert n_files == len(man)  # exactly one file per tile, none extra
