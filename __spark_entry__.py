@@ -410,6 +410,13 @@ def q_doc_lang_id(spark, sf_dir):
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing (rolling-window k-gram) document fingerprints — the
+    local fingerprinting scheme (Schleimer et al. 2003); md5-string
+    hashes keep the construction portable to the DuckDB oracle."""
+    return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting / bag-of-words dedup groups."""
     return textstats.fingerprint_dup_groups(_t(spark, sf_dir, "documents"))
@@ -517,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q_lang_profile,
         "doc_exact_dup": q_doc_exact_dup,
         "doc_lang_id": q_doc_lang_id,
+        "doc_winnow": q_doc_winnow,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "emb_near_dup": q_emb_near_dup,
@@ -839,6 +847,23 @@ SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc
 FROM documents GROUP BY 1 HAVING count(*) >= 2
 """,
         "doc_lang_id": _lang_id_oracle(),
+        "doc_winnow": """
+WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_transform(range(1, greatest(length(norm) - 4, 1) + 1),
+         i -> md5(substr(norm, i, 5))) AS gh FROM nrm
+),
+wmins AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+         j -> list_min(gh[j:j+3])) AS mins FROM g
+)
+SELECT doc_id, CAST(len(list_distinct(mins)) AS BIGINT) AS n_fp,
+       md5(array_to_string(list_sort(list_distinct(mins)), '')) AS fp_hash
+FROM wmins
+""",
         "doc_fingerprint": f"""
 SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fp,
        count(*) AS n_docs, min(doc_id) AS min_doc

@@ -125,3 +125,38 @@ def fingerprint_dup_groups(docs: DataFrame, id_col: str = "doc_id",
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc"))
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003,
+    the rolling-hash local fingerprinting scheme): hash every ``k``-char
+    gram of the whitespace-normalized text, slide a window of ``w``
+    consecutive gram hashes, keep each window's minimum — the selected
+    set is position-robust and guarantees any shared substring of length
+    ≥ w + k − 1 contributes at least one common fingerprint.
+
+    Hashes are md5 hex strings compared lexicographically — portable
+    across Spark and DuckDB (xxhash64 is not), so the driver gate can
+    verify the construction value-exactly.  → (doc_id, n_fp, fp_hash)
+    with fp_hash = md5 over the sorted distinct fingerprint set.
+    Built-ins only: sequence/transform/slice/array_min — JVM-side.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(norm.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - (w - 1), F.lit(1))
+    window_mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(gram_hashes, j, w)),
+    )
+    fps = F.array_sort(F.array_distinct(window_mins))
+    return docs.select(
+        F.col(id_col),
+        F.size(fps).cast("long").alias("n_fp"),
+        F.md5(F.concat_ws("", fps)).alias("fp_hash"),
+    )

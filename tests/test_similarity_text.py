@@ -74,3 +74,36 @@ def test_bpe_token_count(spark):
     got = {r.doc_id: r.n for r in df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
     # don't | panic | , | it's | fine | !  → 6;  x | + | y | = | z → 5
     assert got == {"a": 6, "b": 5}
+
+
+def test_winnowing_guarantee_and_determinism(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): docs sharing a
+    substring of length >= w + k - 1 share >= 1 fingerprint; identical
+    docs share the whole set; disjoint docs share none of it."""
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.textstats import winnow_fingerprints
+
+    shared = "an unmistakably shared long passage that survives winnowing"
+    rows = [
+        ("a", f"prefix one {shared} suffix alpha"),
+        ("b", f"completely different opening {shared} and closing"),
+        ("c", f"prefix one {shared} suffix alpha"),       # identical to a
+        ("d", "nothing in common with the others at all zzz qqq"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # fingerprint SETS via the same construction (mirrors the operator)
+    k, w = 5, 4
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    gh = F.transform(F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+                     lambda i: F.md5(norm.substr(i, F.lit(k))))
+    mins = F.transform(F.sequence(F.lit(1), F.greatest(F.size(gh) - (w - 1), F.lit(1))),
+                       lambda j: F.array_min(F.slice(gh, j, w)))
+    sets = {r.doc_id: set(r.fps) for r in docs.select(
+        "doc_id", F.array_distinct(mins).alias("fps")).collect()}
+    assert sets["a"] & sets["b"], "shared passage must share a fingerprint"
+    assert sets["a"] == sets["c"]
+    assert not (sets["a"] & sets["d"] & sets["b"])
+    out = {r.doc_id: (r.n_fp, r.fp_hash) for r in winnow_fingerprints(docs).collect()}
+    assert out["a"] == out["c"] and out["a"] != out["d"]
+    assert out["a"][0] == len(sets["a"])
