@@ -46,6 +46,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "session_holefill",     # compressed-grid flood fill
         "mbtiles_rows",         # TMS flip + blob construction
         "lsh_near_dup",         # MinHash-LSH scale path e2e
+        "emb_ann_topk",         # IVF cells + probe + re-rank
+        "doc_winnow",           # rolling-window winnowing fingerprints
         "doc_token_stats",
         "doc_quality",
         "doc_fingerprint",
