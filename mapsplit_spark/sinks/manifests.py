@@ -12,6 +12,12 @@ small merge of the per-salt chunks — so no single reducer receives an
 entire hot tile's rows in one task.  With AQE on, Spark additionally
 splits stragglers at runtime; the salt makes the plan robust even where
 AQE's post-shuffle splitting can't help (single-key aggregation).
+
+Default n_salts=32 is measured, not guessed: on an 8M-row input with
+50% of elements in ONE tile, n_salts 1/8/32 take 19.4/21.7/4.6 s
+(local[32]) — 8 salts still leaves 500k-element chunks per task; on a
+uniform 20M-row input 32 salts is also ≥20% faster than 8 (BASELINE.md
+round 2).  Salting never changes output values (ids re-sort in phase 2).
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def tile_manifests(assignments: DataFrame, zoom: int, n_salts: int = 8,
+def tile_manifests(assignments: DataFrame, zoom: int, n_salts: int = 32,
                    id_col: str = "element_id",
                    assume_distinct: bool = False) -> DataFrame:
     """(element_id, tile_x, tile_y) → (zoom, tile_x, tile_y, element_ids sorted, n).
