@@ -131,20 +131,26 @@ def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
         )
         .select(F.col(group_col).alias("element_id"), "tile_x", "tile_y")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     rel_edges = rel_members.select(
         F.col(group_col).alias("dst"), F.col(member_col).alias("src")
     )
+    # semi-naive evaluation: each iteration joins the edge set against
+    # only the DELTA (rows derived last iteration), not the full
+    # accumulated relation — the classic datalog TC optimization; the
+    # join input shrinks as the fixed point converges instead of growing
+    delta = resolved
     for _ in range(max_iters):
-        step = (
-            rel_edges.join(resolved, rel_edges["src"] == resolved["element_id"])
+        derived = (
+            rel_edges.join(delta, rel_edges["src"] == delta["element_id"])
             .select(F.col("dst").alias("element_id"), "tile_x", "tile_y")
-            .union(resolved)
             .distinct()
-            .localCheckpoint(eager=True)  # cut the growing lineage
         )
-        if step.count() == resolved.count():
-            resolved = step
+        delta = derived.join(
+            resolved, ["element_id", "tile_x", "tile_y"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if delta.isEmpty():
             break
-        resolved = step
+        resolved = resolved.union(delta).localCheckpoint(eager=True)
     return resolved
