@@ -91,15 +91,24 @@ def _fill_one(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int]]:
 
 
 def fill_holes(group_tiles: DataFrame, group_col: str = "group_id",
-               min_tiles: int = 8) -> DataFrame:
+               min_tiles: int = 8, materialize: bool = False) -> DataFrame:
     """(group_id, tile_x, tile_y) → same relation + patched hole tiles.
 
     Small groups (< min_tiles, MapSplit.java:491-493) bypass the Python
     stage entirely via a pre-shuffle semi-join on a count aggregate.
+
+    The input relation feeds three consumers (count gate, candidate
+    join, output union).  ``materialize`` checkpoints it once — measured
+    SLOWER at sf0.1 (8.5 s vs 5.8 s: the eager barrier + serialization
+    cost beats re-running the cheap codegen subtree 3× in parallel), so
+    it defaults off; turn it on when the upstream is genuinely expensive
+    and not already a stage table.
     """
     src = group_tiles.select(
         F.col(group_col).alias("group_id"), "tile_x", "tile_y"
     )
+    if materialize:
+        src = src.localCheckpoint(eager=True)
     big = (
         src.groupBy("group_id").count()
         .filter(F.col("count") >= min_tiles)

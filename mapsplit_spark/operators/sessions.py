@@ -59,9 +59,12 @@ def session_assignments(node_tiles: DataFrame, sessions: DataFrame,
     way_edges = session_edges(sessions, "session")
     col_edges = session_edges(sessions, "collection")
 
-    # J1 + §2.6: way tile sets, holes patched before any propagation
+    # J1 + §2.6: way tile sets, holes patched before any propagation.
+    # wt and the post-way base feed several downstream branches each —
+    # materialized once (Spark reuses no identical subtrees across
+    # branches; the checkpointed pipeline materializes stages instead)
     wt = way_tiles(way_edges, node_tiles, "group_id", "member_id")
-    wt = fill_holes(wt, "group_id", min_tiles=holefill_min)
+    wt = fill_holes(wt, "group_id", min_tiles=holefill_min).localCheckpoint(eager=True)
     way_rel = wt.select(F.col("group_id").alias("element_id"), "tile_x", "tile_y")
 
     # J2: member nodes inherit the (hole-patched) way tile set
@@ -70,7 +73,7 @@ def session_assignments(node_tiles: DataFrame, sessions: DataFrame,
                                       "group_id", "member_id")
 
     # J3/J4: collections against the post-way state, to fixed point
-    base = nodes_aug.union(way_rel).distinct()
+    base = nodes_aug.union(way_rel).distinct().localCheckpoint(eager=True)
     col_rel = relation_tiles_fixed_point(
         col_edges.withColumnRenamed("group_id", "relation_id"),
         base, "relation_id", "member_id",
