@@ -61,9 +61,12 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     for name in bench_set:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        rows[name] = _force(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best of 2 — this VM has ±2× noise windows
+            t0 = time.perf_counter()
+            rows[name] = _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     return times, rows
 
 
