@@ -94,11 +94,19 @@ def main(argv=None) -> None:
     spark = get_spark("split-job")
     t0 = time.time()
     src = spark.read.parquet(args.input)
+    if args.date_file and args.ts_col not in src.columns:
+        raise SystemExit(
+            f"--date-file requires timestamp column '{args.ts_col}' "
+            f"(input has: {src.columns}); set --ts-col"
+        )
     appointment_ms = _read_date_file(args.date_file)
 
+    manifests = None
     if args.workdir:
         # checkpoint-resumable path: stages persist under --workdir and a
-        # re-run recomputes only unfinished stages (north_rule resume)
+        # re-run recomputes only unfinished stages (north_rule resume).
+        # The CLI consumes the pipeline's stage outputs directly — the
+        # merge walk and manifest aggregation run exactly once.
         from mapsplit_spark.pipeline import TilingPipeline
 
         pipe = TilingPipeline(
@@ -108,8 +116,15 @@ def main(argv=None) -> None:
             sessions_path=args.sessions, complete_sessions=args.complete_sessions,
             multipolygon_only=args.multipolygon_only,
         )
-        pipe.run(args.input)
-        pairs = spark.read.parquet(os.path.join(pipe.last_assignment_dir(), "data"))
+        manifests = pipe.run(args.input)
+        if args.optimize > 0:
+            tiled = spark.read.parquet(os.path.join(pipe._dir("tiled"), "data"))
+        else:
+            pairs = spark.read.parquet(
+                os.path.join(pipe.last_assignment_dir(), "data"))
+            tiled = pairs.select(
+                "element_id", F.lit(args.zoom).alias("zoom"), "tile_x", "tile_y"
+            ).dropDuplicates(["element_id", "tile_x", "tile_y"])
     else:
         points = src.select(args.id_col, args.lon_col, args.lat_col)
         pairs = assign_and_expand(points, args.id_col, args.lon_col, args.lat_col,
@@ -130,15 +145,16 @@ def main(argv=None) -> None:
                               outers, inners, args.zoom)
             pairs = clip_assignments(pairs, kept)
 
-    # §2.5 optimize — output-zoom relation (element_id, zoom, tile_x, tile_y);
-    # payload/raster keys derive from the SAME merged relation so every
-    # output agrees on tile identity (optimizedModifiedTiles parity)
-    if args.optimize > 0:
-        tiled = merged_assignments(pairs, args.zoom, args.optimize)
-    else:
-        tiled = pairs.select(
-            "element_id", F.lit(args.zoom).alias("zoom"), "tile_x", "tile_y"
-        ).dropDuplicates(["element_id", "tile_x", "tile_y"])
+        # §2.5 optimize — output-zoom relation (element_id, zoom, tile_x,
+        # tile_y); payload/raster keys derive from the SAME merged
+        # relation so every output agrees on tile identity
+        if args.optimize > 0:
+            tiled = merged_assignments(pairs, args.zoom, args.optimize)
+        else:
+            tiled = pairs.select(
+                "element_id", F.lit(args.zoom).alias("zoom"), "tile_x", "tile_y"
+            ).dropDuplicates(["element_id", "tile_x", "tile_y"])
+
     tiled = tiled.localCheckpoint(eager=False)  # reused by manifests/payload/raster
 
     # S5/P3/A4 — appointment-date incremental: a tile is written iff it
@@ -153,8 +169,12 @@ def main(argv=None) -> None:
             .select("zoom", "tile_x", "tile_y").distinct()
         )
         tiled = tiled.join(modified_tiles, ["zoom", "tile_x", "tile_y"], "left_semi")
+        if manifests is not None:  # stage manifests are pre-filter; restrict
+            manifests = manifests.join(
+                modified_tiles, ["zoom", "tile_x", "tile_y"], "left_semi")
 
-    manifests = tile_manifests(tiled, args.zoom, assume_distinct=True)
+    if manifests is None:
+        manifests = tile_manifests(tiled, args.zoom, assume_distinct=True)
     manifests.write.mode("overwrite").parquet(os.path.join(args.output, "manifests"))
 
     # A3 latestDate — deterministic metadata + --date-file write-back

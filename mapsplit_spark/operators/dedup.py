@@ -80,24 +80,11 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 32,
     return shingled.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
-                        id_col: str = "doc_id",
-                        max_bucket: int | None = 1024) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band hash are
-    candidates.  → distinct (id_a, id_b) with id_a < id_b.
-
-    Hot-bucket guard: a degenerate band bucket of size B yields B²
-    candidate rows in ONE join key — a scale-killer on real web text
-    (e.g. boilerplate/near-empty docs collapsing to one signature band).
-    Buckets larger than ``max_bucket`` are dropped from candidate
-    generation (standard LSH practice — LRU ch.3; each pair has
-    ``bands − 1`` other chances, and the pathological buckets are almost
-    always content-free junk that exact dedup catches first).  The drop
-    is observable: filtering joins against the aggregated bucket sizes,
-    so ``bucket_sizes(...)`` can report what was excluded.  Pass
-    ``max_bucket=None`` to disable."""
+def _banded(signatures: DataFrame, bands: int, id_col: str) -> DataFrame:
+    """Signature → (id, band, bhash) rows — the single banding
+    construction shared by candidate generation and bucket_sizes."""
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -117,23 +104,58 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
-    if max_bucket is not None:
-        ok = (
-            banded.groupBy("band", "bhash").agg(F.count("*").alias("bsize"))
-            .filter(F.col("bsize") <= max_bucket)
-            .select("band", "bhash")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
+                        id_col: str = "doc_id",
+                        max_bucket: int | None = 1024) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band hash are
+    candidates.  → distinct (id_a, id_b) with id_a < id_b.
+
+    Hot-bucket guard: a degenerate band bucket of size B yields B²
+    candidate rows in ONE join key — a scale-killer on real web text.
+    Buckets larger than ``max_bucket`` fall back to STAR edges (every
+    member paired with the bucket's min id) instead of all-pairs:
+    candidate count drops from B² to B while preserving cluster
+    CONNECTIVITY — a >cap cluster of near-identical docs (e.g. thousands
+    of templated pages, where every band collapses to one bucket and the
+    "other bands will catch it" argument fails) still verifies as one
+    connected dup group through the hub.  Pass ``max_bucket=None`` for
+    unconditional all-pairs."""
+    banded = _banded(signatures, bands, id_col)
+    if max_bucket is None:
+        small, star = banded, None
+    else:
+        stats = banded.groupBy("band", "bhash").agg(
+            F.count("*").alias("bsize"), F.min(id_col).alias("hub")
         )
-        banded = banded.join(ok, ["band", "bhash"], "left_semi")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
+        small = banded.join(
+            stats.filter(F.col("bsize") <= max_bucket).select("band", "bhash"),
+            ["band", "bhash"], "left_semi",
+        )
+        star = (
+            banded.join(
+                stats.filter(F.col("bsize") > max_bucket).select("band", "bhash", "hub"),
+                ["band", "bhash"],
+            )
+            .filter(F.col(id_col) != F.col("hub"))
+            .select(
+                F.least(id_col, "hub").alias("id_a"),
+                F.greatest(id_col, "hub").alias("id_b"),
+            )
+        )
+    left = small.alias("l")
+    right = small.alias("r")
+    pairs = (
         left.join(right, ["band", "bhash"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_verify(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.7,
@@ -155,20 +177,12 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame, threshold: float = 0.7
 def bucket_sizes(signatures: DataFrame, bands: int = 8,
                  id_col: str = "doc_id") -> DataFrame:
     """Band-bucket size histogram — the observability companion to the
-    ``max_bucket`` cap: report/alert on buckets the cap would drop."""
-    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        F.col("sig"),
-    ).select(
-        id_col, "band",
-        F.xxhash64(F.concat_ws(",", F.transform(
-            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
-            lambda v: v.cast("string"),
-        ))).alias("bhash"),
+    ``max_bucket`` cap: report/alert on buckets that degrade to star
+    edges.  Shares ``_banded`` with candidate generation so the report
+    always matches what the cap acts on."""
+    return _banded(signatures, bands, id_col).groupBy("band", "bhash").agg(
+        F.count("*").alias("bsize")
     )
-    return banded.groupBy("band", "bhash").agg(F.count("*").alias("bsize"))
 
 
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",

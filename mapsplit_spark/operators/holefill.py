@@ -38,7 +38,17 @@ def _compress(vals: np.ndarray, lo: int, hi: int) -> np.ndarray:
     return np.unique(np.concatenate([vals - 1, vals, vals + 1, [lo, hi]]))
 
 
-def _fill_one(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int]]:
+# hole-OUTPUT guard: a geometry enclosing a continent-sized region would
+# expand to tens of millions of patch tiles (the reference would add
+# them all too — and blow its tile sets); such groups are left unpatched
+# with a loud executor-log warning instead.  This bounds output size and
+# Python enumeration time; detection is exact (summed rectangle areas
+# from the compressed fill, BEFORE enumeration).
+MAX_HOLES_PER_GROUP = 2_000_000
+
+
+def _fill_one(xs: np.ndarray, ys: np.ndarray,
+              max_holes: int = MAX_HOLES_PER_GROUP) -> list[tuple[int, int]]:
     """Holes for one geometry's member tiles (the checkAndFill algorithm
     on the compressed grid: outside flood fill from compressed (1,1)
     over a 4-neighbourhood restricted to rows/cols ≥ 1, unreached
@@ -78,6 +88,20 @@ def _fill_one(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int]]:
     holes[0, :] = False
     holes[:, 0] = False
     hy, hx = np.where(holes)
+    # total patch area from the compressed rectangles BEFORE enumerating
+    x_next = np.append(cx[1:], cx[-1] + 1)
+    y_next = np.append(cy[1:], cy[-1] + 1)
+    widths = (x_next - cx)[hx]
+    heights = (y_next - cy)[hy]
+    total = int((widths * heights).sum())
+    if total > max_holes:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fill_holes: geometry encloses %d tiles (> %d) — left unpatched",
+            total, max_holes,
+        )
+        return []
     out: list[tuple[int, int]] = []
     for j, i in zip(hy, hx):
         # compressed hole cell (i, j) ⇒ the member-free real rectangle

@@ -174,10 +174,21 @@ def knn_tiled(queries: DataFrame, points: DataFrame, zoom: int, ring: int = 1,
     """
     pending = queries.select("query_id", "q_lon", "q_lat")
     results: list[DataFrame] = []
+    # assign the big points side ONCE at the base zoom; coarser levels
+    # derive by bit-shift (quadtree nesting: floor(v·2^(z−d)) ==
+    # floor(v·2^z) >> d, clamping included) — escalation never rescans
+    # or re-projects the points table
+    pt_base = _tiled_points(points, zoom)
     z = zoom
     while z >= min_zoom:
+        d = zoom - z
+        pt_z = pt_base if d == 0 else pt_base.select(
+            "point_id", "p_lon", "p_lat",
+            F.shiftright("tile_x", d).alias("tile_x"),
+            F.shiftright("tile_y", d).alias("tile_y"),
+        )
         qt = _query_tiles(pending, z)
-        cands = _ring_candidates(qt, _tiled_points(points, z), z, ring)
+        cands = _ring_candidates(qt, pt_z, z, ring)
         ranked = _ranked(cands.dropDuplicates(["query_id", "point_id"]), k)
         if not escalate:
             return ranked

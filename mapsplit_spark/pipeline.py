@@ -76,7 +76,7 @@ class TilingPipeline:
     """assign → [sessions] → [clip] → [optimize] → manifests,
     checkpointed per stage."""
 
-    STAGES = ("assign", "sessions", "clip", "manifests")
+    STAGES = ("assign", "sessions", "clip", "tiled", "manifests")
 
     def __init__(self, spark: SparkSession, workdir: str, *, zoom: int = 13,
                  border: float = 0.1, id_col: str = "image_id",
@@ -159,18 +159,25 @@ class TilingPipeline:
                              self.cfg_hash, {**lineage, "upstream": last_dir})
             last_dir = clip_dir
 
-        man_dir = self._dir("manifests")
-        if not _stage_done(man_dir, self.cfg_hash):
-            pairs = self.spark.read.parquet(os.path.join(last_dir, "data"))
-            if self.cfg["node_limit"] > 0:
-                from .operators.optimize import merged_assignments
+        if self.cfg["node_limit"] > 0:
+            # the merged output-zoom relation is its own stage: the
+            # store/payload path (J7) keys off it, so persisting it here
+            # means the CLI never recomputes the merge walk
+            from .operators.optimize import merged_assignments
 
+            tiled_dir = self._dir("tiled")
+            if not _stage_done(tiled_dir, self.cfg_hash):
+                pairs = self.spark.read.parquet(os.path.join(last_dir, "data"))
                 merged = merged_assignments(pairs, self.cfg["zoom"],
                                             self.cfg["node_limit"])
-                # merged is distinct by construction; salted two-phase agg
-                man = tile_manifests(merged, self.cfg["zoom"], assume_distinct=True)
-            else:
-                man = tile_manifests(pairs, self.cfg["zoom"], assume_distinct=True)
+                _write_stage(merged, "tiled", tiled_dir, self.cfg_hash,
+                             {**lineage, "upstream": last_dir})
+            last_dir = tiled_dir
+
+        man_dir = self._dir("manifests")
+        if not _stage_done(man_dir, self.cfg_hash):
+            rel = self.spark.read.parquet(os.path.join(last_dir, "data"))
+            man = tile_manifests(rel, self.cfg["zoom"], assume_distinct=True)
             _write_stage(man, "manifests", man_dir, self.cfg_hash,
                          {**lineage, "upstream": last_dir})
         return self.spark.read.parquet(os.path.join(man_dir, "data"))

@@ -41,6 +41,15 @@ def export_tile_files(manifests: DataFrame, base: str,
     """
     if "%x" not in template or "%y" not in template:
         raise ValueError("tile file template must contain %x and %y")
+    if "%z" not in template:
+        # multi-zoom manifests (optimized runs) would silently collide
+        # on the same path — refuse unless the output is single-zoom
+        n_zooms = manifests.select("zoom").distinct().count()
+        if n_zooms > 1:
+            raise ValueError(
+                f"tile file template lacks %z but manifests span {n_zooms} "
+                "zoom levels — tiles would overwrite each other"
+            )
     os.makedirs(base, exist_ok=True)
 
     def write_partition(rows) -> None:

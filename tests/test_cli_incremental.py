@@ -184,3 +184,27 @@ def test_tile_files_template_output(spark, images_dir, outbase, capsys):
         assert blob["ids"] == sorted(r.element_ids) and blob["n"] == r.n
     n_files = sum(len(fs) for _, _, fs in os.walk(tiles_dir))
     assert n_files == len(man)  # exactly one file per tile, none extra
+
+
+def test_workdir_optimize_consumes_stage_outputs(spark, images_dir, outbase, capsys):
+    """--workdir --optimize: the CLI consumes the pipeline's tiled +
+    manifests stages (no recompute of the merge walk) and payload tile
+    keys still agree with the optimized manifests."""
+    out = os.path.join(outbase, "wopt")
+    work = os.path.join(outbase, "wopt_work")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--border", "0.1", "--optimize", "5", "--payload",
+        "--workdir", work,
+    ], capsys)
+    assert os.path.exists(os.path.join(work, "tiled", "_STAGE_OK"))
+    stage_man = spark.read.parquet(os.path.join(work, "manifests", "data"))
+    out_man = spark.read.parquet(os.path.join(out, "manifests"))
+    key = lambda df: {(r.zoom, r.tile_x, r.tile_y, tuple(r.element_ids)) for r in df.collect()}
+    assert key(stage_man) == key(out_man)  # CLI output IS the stage output
+    tiles = spark.read.parquet(os.path.join(out, "tiles"))
+    got = {
+        (r.tile_id >> 32, (r.tile_id >> 16) & 0xFFFF, r.tile_id & 0xFFFF)
+        for r in tiles.select("tile_id").distinct().collect()
+    }
+    assert got == {(r.zoom, r.tile_x, r.tile_y) for r in out_man.collect()}

@@ -78,22 +78,25 @@ def test_simhash_locality(docs):
 
 def test_hot_bucket_cap_bounds_candidates(spark):
     """A pathological bucket (many identical docs → one band hash) must
-    not produce |B|² candidate rows: with the cap the bucket is dropped,
-    without it the full quadratic pair set appears.  Planted near-dups
-    in normal-size buckets survive the cap."""
+    not produce |B|² candidate rows: above the cap the bucket degrades
+    to STAR edges (hub = min id), keeping O(B) candidates while the
+    cluster stays CONNECTED through the hub; normal-size buckets keep
+    all-pairs."""
     from mapsplit_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
     )
 
-    junk = [(f"j{i}", "lorem ipsum dolor sit amet " * 3) for i in range(60)]
+    junk = [(f"j{i:02d}", "lorem ipsum dolor sit amet " * 3) for i in range(60)]
     real = [("a0", BASE), ("a1", BASE.replace("summer", "winter"))]
     df = spark.createDataFrame(junk + real, "doc_id string, text string")
     sigs = minhash_signatures(with_shingle_hashes(df), 32)
     uncapped = lsh_candidate_pairs(sigs, bands=8, max_bucket=None)
     assert uncapped.filter("id_a LIKE 'j%' AND id_b LIKE 'j%'").count() == 60 * 59 // 2
     capped = lsh_candidate_pairs(sigs, bands=8, max_bucket=16)
-    assert capped.filter("id_a LIKE 'j%' AND id_b LIKE 'j%'").count() == 0
+    star = capped.filter("id_a LIKE 'j%' AND id_b LIKE 'j%'").collect()
+    assert len(star) == 59  # O(B), not B²
+    assert all(r.id_a == "j00" for r in star)  # hub-connected cluster
     # the planted near-dup pair still surfaces with the cap active
     assert capped.filter("id_a = 'a0' AND id_b = 'a1'").count() == 1
 

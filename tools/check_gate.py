@@ -36,6 +36,10 @@ def _norm(v):
 
 
 def main(sf_dir: str):
+    # the tile_merge oracle embeds a remap computed from the SAME dir
+    # the Spark queries run on — point it at ours before building oracles
+    os.environ["SPARK_GRAFT_CORRECTNESS_DIR"] = sf_dir
+
     import __spark_entry__ as entry
     from mapsplit_spark.session import get_spark
 
