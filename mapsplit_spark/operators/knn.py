@@ -207,3 +207,45 @@ def knn_tiled(queries: DataFrame, points: DataFrame, zoom: int, ring: int = 1,
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def knn_tiled_bucketed(queries: DataFrame, points_path: str, zoom: int,
+                       ring: int = 1, k: int = 5,
+                       n_buckets: int = 256) -> DataFrame:
+    """kNN over a tile-BUCKETED points layout (sinks.manifests.write_tiles:
+    parquet partitioned by bucket = pmod(xxhash64(tile_x, tile_y),
+    n_buckets)) — the 100 TB read path: the query set's ring tiles map to
+    a small bucket set, the filter on the PARTITION column prunes every
+    other bucket directory at planning time, and only then does the ring
+    equi-join + exact re-rank run.  Single-probe (see ``knn_tiled`` for
+    the coverage-proof escalation ladder; compose by re-calling at a
+    coarser zoom for unproven queries).
+
+    The stored layout must carry (point_id, p_lon, p_lat, tile_x,
+    tile_y); the bucket column is reconstructed by the reader from the
+    directory value.
+    """
+    spark = queries.sparkSession
+    n = 1 << zoom
+    qt = _query_tiles(queries, zoom)
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    ring_tiles = qt.withColumn(
+        "ringo", F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets
+        ]))
+    ).select(
+        F.pmod(F.col("tile_x") + F.col("ringo.dx"), F.lit(n)).alias("tile_x"),
+        (F.col("tile_y") + F.col("ringo.dy")).alias("tile_y"),
+    ).filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n)).distinct()
+    # query side is small by definition → collect the bucket set for a
+    # literal IN-filter on the partition column (planning-time pruning)
+    buckets = sorted({
+        r.bucket for r in ring_tiles.select(
+            F.pmod(F.xxhash64("tile_x", "tile_y"), F.lit(n_buckets)).alias("bucket")
+        ).distinct().collect()
+    })
+    pts = spark.read.parquet(points_path).filter(F.col("bucket").isin(buckets))
+    cands = _ring_candidates(
+        qt, pts.select("point_id", "p_lon", "p_lat", "tile_x", "tile_y"), zoom, ring
+    )
+    return _ranked(cands.dropDuplicates(["query_id", "point_id"]), k)

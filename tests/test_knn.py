@@ -90,3 +90,30 @@ def test_antimeridian_ring_wraps(spark):
     )
     got = knn_tiled(qs, pts, zoom=6, ring=1, k=1, escalate=False).collect()
     assert len(got) == 1 and got[0].point_id == 1  # 0.1° across the seam
+
+
+def test_bucketed_layout_prunes_partitions_and_matches(spark, data, tmp_path):
+    """The 100TB read path: points stored bucketed by tile
+    (write_tiles layout); the kNN probe's bucket IN-filter must prune
+    partition directories at planning time AND return the same result
+    as the in-memory tiled path."""
+    from mapsplit_spark.operators.assign import assign_tiles
+    from mapsplit_spark.operators.knn import knn_tiled, knn_tiled_bucketed
+    from mapsplit_spark.sinks.manifests import write_tiles
+
+    qs, pts = data
+    from pyspark.sql import functions as F
+
+    stored = assign_tiles(pts, "point_id", "p_lon", "p_lat", 4,
+                          keep_cols=["p_lon", "p_lat"]).select(
+        F.col("element_id").alias("point_id"), "p_lon", "p_lat", "tile_x", "tile_y")
+    path = str(tmp_path / "pts_bucketed")
+    write_tiles(stored, path, 4, n_buckets=16)
+
+    out = knn_tiled_bucketed(qs, path, zoom=4, ring=2, k=3, n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    expect = {(r.query_id, r.rank, r.point_id)
+              for r in knn_tiled(qs, pts, zoom=4, ring=2, k=3, escalate=False).collect()}
+    got = {(r.query_id, r.rank, r.point_id) for r in out.collect()}
+    assert got == expect
