@@ -1,0 +1,79 @@
+"""spark-submit streaming entry point — continuous tile maintenance.
+
+The reference's incremental story is the batch appointment-date
+mechanism (MapSplit.java:1506-1547; `split_job.py --date-file` is its
+faithful CLI).  This job is the Spark-NATIVE upgrade: tail a directory
+(an Iceberg/parquet landing zone) for new image rows and maintain
+per-tile modification counts with event-time watermarks — checkpointed,
+kill/restart-safe, exactly the `readStream → assign → window →
+foreachBatch upsert` shape SURVEY.md §2.7 maps the date mechanism onto.
+
+    spark-submit --py-files mapsplit_spark.zip jobs/stream_job.py \
+        --input /landing/images --checkpoint /state/ckpt \
+        --output /out/tile_counts --zoom 13 --border 0.1 \
+        [--once]   # availableNow trigger: drain what exists, then stop
+
+Each output row: (win_start, tile_x, tile_y, n_modified, batch_id) —
+the streaming modifiedTiles set (A4) with counts (A2), consumable by a
+downstream selective re-materialization of hot tiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="streaming tile maintenance")
+    p.add_argument("--input", required=True, help="directory tailed for new parquet")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--zoom", type=int, default=13)
+    p.add_argument("--border", type=float, default=0.1)
+    p.add_argument("--id-col", default="image_id")
+    p.add_argument("--lon-col", default="lon")
+    p.add_argument("--lat-col", default="lat")
+    p.add_argument("--once", action="store_true",
+                   help="drain available input then stop (availableNow)")
+    p.add_argument("--timeout-sec", type=float, default=None,
+                   help="stop after N seconds (continuous mode)")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from mapsplit_spark.session import get_spark
+    from mapsplit_spark.streaming.incremental import start_incremental_job
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("stream-job")
+    # file streams need an explicit schema: take it from the existing data
+    schema = spark.read.parquet(args.input).schema
+    q = start_incremental_job(
+        spark, args.input, args.checkpoint, args.output,
+        args.id_col, args.lon_col, args.lat_col, args.zoom, args.border,
+        schema=schema,
+    )
+    if args.once:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+    out = spark.read.parquet(args.output)
+    print(json.dumps({
+        "rows": out.count(),
+        "tiles": out.select("tile_x", "tile_y").distinct().count(),
+    }))
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -208,3 +208,26 @@ def test_workdir_optimize_consumes_stage_outputs(spark, images_dir, outbase, cap
         for r in tiles.select("tile_id").distinct().collect()
     }
     assert got == {(r.zoom, r.tile_x, r.tile_y) for r in out_man.collect()}
+
+
+def test_optimize_raster_mbtiles_multizoom(spark, images_dir, outbase, capsys):
+    """--optimize --raster-mbtiles: mosaic blobs are keyed by the MERGED
+    zooms (per-row TMS flip), matching the manifests' tile identity."""
+    import sqlite3
+
+    out = os.path.join(outbase, "ropt")
+    mb = os.path.join(outbase, "ropt.mbtiles")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--border", "0.1", "--optimize", "5",
+        "--raster-mbtiles", mb,
+    ], capsys)
+    man = spark.read.parquet(os.path.join(out, "manifests"))
+    man_keys = {(r.zoom, r.tile_x, r.tile_y) for r in man.collect()}
+    assert len({z for z, _, _ in man_keys}) > 1
+    conn = sqlite3.connect(mb)
+    got = set()
+    for z, x, tms_y, blob in conn.execute("SELECT * FROM tiles"):
+        got.add((z, x, (1 << z) - tms_y - 1))  # undo per-row TMS flip
+        assert len(blob) > 0
+    assert got == man_keys

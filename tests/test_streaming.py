@@ -70,3 +70,63 @@ def test_incremental_counts_accumulate(spark, dirs):
     # carry the first batch ids
     total_modified = o2.groupBy().sum("n_modified").collect()[0][0]
     assert total_modified >= 500  # every event counted at least once
+
+
+def test_stream_job_cli_drains_and_resumes(spark, images_dir, tmp_path):
+    """jobs/stream_job.py --once: drains the landing dir, writes per-tile
+    modification counts, and a second invocation after new files arrive
+    processes ONLY the new batch (checkpoint offsets honored)."""
+    from pyspark.sql import functions as F
+
+    from jobs.stream_job import main as stream_main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = spark.read.parquet(f"{images_dir}/images.parquet") \
+        .withColumn("ts", F.to_timestamp(F.col("ts_ms") / 1000.0))
+    # split by TIME (not arbitrarily): the checkpointed watermark from
+    # run 1 would rightly drop a second batch of older-than-watermark
+    # events as late data — arrival order must respect event time
+    mid = src.approxQuantile("ts_ms", [0.5], 0.0)[0]
+    half1 = src.filter(f"ts_ms <= {int(mid)}")
+    half2 = src.filter(f"ts_ms > {int(mid)}")
+
+    def drop_file(df, name):  # file source wants flat parquet FILES
+        pdf = df.select("image_id", "lon", "lat", "ts").toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]").dt.tz_localize("UTC")  # TIMESTAMP (not NTZ/NANOS)
+        pq.write_table(pa.Table.from_pandas(pdf), str(landing / name))
+
+    drop_file(half1, "batch1.parquet")
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    argv = ["--input", str(landing), "--checkpoint", ckpt, "--output", out,
+            "--zoom", "13", "--border", "0.1", "--once"]
+    stream_main(argv)
+
+    def latest_total():
+        # update-mode appends the UPDATED cumulative count per
+        # (window, tile) each batch — the truth is the newest row per key
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("win_start", "tile_x", "tile_y") \
+            .orderBy(F.col("batch_id").desc())
+        return (
+            spark.read.parquet(out)
+            .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .agg(F.sum("n_modified")).collect()[0][0]
+        )
+
+    n1 = latest_total()
+    assert n1 > 0
+
+    drop_file(half2, "batch2.parquet")
+    stream_main(argv)
+    n2 = latest_total()
+    assert n2 > n1
+    # after the second drain the upserted state equals ONE full pass
+    # over all rows — checkpoint resumed, nothing double-counted or lost
+    from mapsplit_spark.streaming.incremental import stream_assign
+    expect = stream_assign(
+        src.select("image_id", "lon", "lat", "ts"), "image_id", "lon", "lat", 13, 0.1
+    ).count()
+    assert n2 == expect
