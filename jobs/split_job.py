@@ -118,7 +118,7 @@ def main(argv=None) -> None:
         )
         manifests = pipe.run(args.input)
         if args.optimize > 0:
-            tiled = spark.read.parquet(os.path.join(pipe._dir("tiled"), "data"))
+            tiled = spark.read.parquet(pipe.stage_data("tiled"))
         else:
             pairs = spark.read.parquet(
                 os.path.join(pipe.last_assignment_dir(), "data"))

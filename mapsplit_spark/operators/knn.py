@@ -75,26 +75,31 @@ def _query_tiles(queries: DataFrame, zoom: int) -> DataFrame:
     ).select(F.col("element_id").alias("query_id"), "q_lon", "q_lat", "tile_x", "tile_y")
 
 
-def _ring_candidates(qt: DataFrame, points_tiled: DataFrame, zoom: int,
-                     ring: int) -> DataFrame:
-    """Query tiles × (2·ring+1)² ring offsets ⋈ tiled points.
-
-    Ring x wraps at the antimeridian (pmod 2^zoom); y clamps to the
-    Mercator domain.  → (query_id, q_lon, q_lat, point_id, p_lon, p_lat).
-    """
+def _ring_tiles(qt: DataFrame, zoom: int, ring: int,
+                keep: list[str]) -> DataFrame:
+    """Expand each query tile to its (2·ring+1)² ring: x wraps at the
+    antimeridian (pmod 2^zoom), y clamps to the Mercator domain.
+    → (*keep, tile_x, tile_y) distinct per query."""
     n = 1 << zoom
     offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    ringed = qt.withColumn(
+    return qt.withColumn(
         "ring", F.explode(F.array(*[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets
         ]))
     ).select(
-        "query_id", "q_lon", "q_lat",
+        *keep,
         F.pmod(F.col("tile_x") + F.col("ring.dx"), F.lit(n)).alias("tile_x"),
         (F.col("tile_y") + F.col("ring.dy")).alias("tile_y"),
     ).filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n)).dropDuplicates(
-        ["query_id", "tile_x", "tile_y"]  # wrap can alias ring tiles at tiny zooms
+        [*keep, "tile_x", "tile_y"]  # wrap can alias ring tiles at tiny zooms
     )
+
+
+def _ring_candidates(qt: DataFrame, points_tiled: DataFrame, zoom: int,
+                     ring: int) -> DataFrame:
+    """Query ring tiles ⋈ tiled points.
+    → (query_id, q_lon, q_lat, point_id, p_lon, p_lat)."""
+    ringed = _ring_tiles(qt, zoom, ring, ["query_id", "q_lon", "q_lat"])
     return F.broadcast(ringed).join(points_tiled, ["tile_x", "tile_y"]).select(
         "query_id", "q_lon", "q_lat", "point_id", "p_lon", "p_lat"
     )
@@ -114,7 +119,7 @@ def _coverage_radius_km(qt: DataFrame, zoom: int, ring: int) -> DataFrame:
     * a side that wraps the world / hits a pole is fully covered (_FAR_KM).
     """
     n = 1 << zoom
-    lon_w = sqlgen.tile2lon_sql("tile_x - " + str(ring), zoom)
+    lon_w = sqlgen.tile2lon_sql(f"tile_x - {ring}", zoom)
     lon_e = sqlgen.tile2lon_sql(f"tile_x + {ring + 1}", zoom)
     lat_n = sqlgen.tile2lat_sql(f"tile_y - {ring}", zoom)
     lat_s = sqlgen.tile2lat_sql(f"tile_y + {ring + 1}", zoom)
@@ -226,21 +231,11 @@ def knn_tiled_bucketed(queries: DataFrame, points_path: str, zoom: int,
     directory value.
     """
     spark = queries.sparkSession
-    n = 1 << zoom
     qt = _query_tiles(queries, zoom)
-    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    ring_tiles = qt.withColumn(
-        "ringo", F.explode(F.array(*[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets
-        ]))
-    ).select(
-        F.pmod(F.col("tile_x") + F.col("ringo.dx"), F.lit(n)).alias("tile_x"),
-        (F.col("tile_y") + F.col("ringo.dy")).alias("tile_y"),
-    ).filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n)).distinct()
     # query side is small by definition → collect the bucket set for a
     # literal IN-filter on the partition column (planning-time pruning)
     buckets = sorted({
-        r.bucket for r in ring_tiles.select(
+        r.bucket for r in _ring_tiles(qt, zoom, ring, ["query_id"]).select(
             F.pmod(F.xxhash64("tile_x", "tile_y"), F.lit(n_buckets)).alias("bucket")
         ).distinct().collect()
     })

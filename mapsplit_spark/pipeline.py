@@ -101,6 +101,11 @@ class TilingPipeline:
     def _dir(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
+    def stage_data(self, stage: str) -> str:
+        """Parquet path of a completed stage's output (public accessor
+        for downstream consumers like the CLI)."""
+        return os.path.join(self._dir(stage), "data")
+
     def last_assignment_dir(self) -> str:
         """Stage dir holding the final (element_id, tile_x, tile_y)
         assignment relation — clip if clipping, else sessions, else
