@@ -373,6 +373,22 @@ def q_lsh_near_dup(spark, sf_dir):
     )
 
 
+def q_tile_cellid(spark, sf_dir):
+    """Cell encodings (H3/S2-analog quadtree ids): per distinct tile,
+    the Morton Z-order index via the ENGINE's shift/mask column kernel
+    (cellid.morton_col) — gated against an INDEPENDENT arithmetic
+    formulation in the oracle — plus the Bing quadkey string (shared
+    sqlgen text, parity by construction)."""
+    from mapsplit_spark.cellid import morton_col
+
+    tiles = _event_pairs(spark, sf_dir).select("tile_x", "tile_y").distinct()
+    return tiles.select(
+        "tile_x", "tile_y",
+        morton_col(F.col("tile_x"), F.col("tile_y")).alias("morton"),
+        F.expr(sqlgen.quadkey_sql("tile_x", "tile_y", ZOOM)).alias("quadkey"),
+    )
+
+
 def q_session_holefill(spark, sf_dir):
     """§2.6 hole-fill over session tile sets (flood fill not
     SQL-expressible → rows-only gate; ring semantics pytest-verified)."""
@@ -516,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_rel": q_complete_rel,
         "mbtiles_rows": q_mbtiles_rows,
         "lsh_near_dup": q_lsh_near_dup,
+        "tile_cellid": q_tile_cellid,
         "session_holefill": q_session_holefill,
         "knn": q_knn,
         "knn_tiled": q_knn_tiled,
@@ -755,6 +772,13 @@ SELECT DISTINCT element_id, tile_x, tile_y FROM (
 ) u
 """,
         "complete_rel": _complete_rel_oracle(),
+        "tile_cellid": f"""
+WITH tiles AS (SELECT DISTINCT tile_x, tile_y FROM ({nodes}) z)
+SELECT tile_x, tile_y,
+       {sqlgen.morton_sql('tile_x', 'tile_y')} AS morton,
+       {sqlgen.quadkey_sql('tile_x', 'tile_y', ZOOM)} AS quadkey
+FROM tiles
+""",
         "mbtiles_rows": f"""
 SELECT {ZOOM} AS zoom_level,
        tile_x AS tile_column,

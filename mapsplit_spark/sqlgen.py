@@ -191,6 +191,31 @@ def ring_pip_sql(lon: str, lat: str, ring: list[tuple[float, float]]) -> str:
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
+def morton_sql(x: str, y: str, bits: int = 16) -> str:
+    """Z-order (Morton) index as pure ARITHMETIC (no bit operators —
+    dialect-portable): Σ bit_b(x)·4^b + 2·bit_b(y)·4^b with bit_b(v) =
+    FLOOR(v / 2^b) % 2.  Independent formulation of cellid.morton_col's
+    shift/mask spread — the two gate each other."""
+    terms = []
+    for b in range(bits):
+        p = float(2 ** b)
+        terms.append(f"(CAST(FLOOR(({x}) / {p!r}) AS BIGINT) % 2) * {4 ** b}")
+        terms.append(f"(CAST(FLOOR(({y}) / {p!r}) AS BIGINT) % 2) * {2 * 4 ** b}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def quadkey_sql(x: str, y: str, zoom: int) -> str:
+    """Bing quadkey string (digit per level, MSB first): digit =
+    bit(x) + 2·bit(y) — portable CAST-AS-STRING concatenation."""
+    digits = []
+    for level in range(zoom, 0, -1):
+        p = float(2 ** (level - 1))
+        d = (f"(CAST(FLOOR(({x}) / {p!r}) AS BIGINT) % 2) + "
+             f"2 * (CAST(FLOOR(({y}) / {p!r}) AS BIGINT) % 2)")
+        digits.append(f"CAST({d} AS STRING)")
+    return "(" + " || ".join(digits) + ")"
+
+
 def derived_lon_sql(key: str) -> str:
     return f"(CAST((({key}) * 9973) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
 
