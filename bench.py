@@ -48,6 +48,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "lsh_near_dup",         # MinHash-LSH scale path e2e
         "emb_ann_topk",         # IVF cells + probe + re-rank
         "doc_winnow",           # rolling-window winnowing fingerprints
+        "tile_cellid",          # Morton/quadkey cell encodings
         "doc_token_stats",
         "doc_quality",
         "doc_fingerprint",
