@@ -117,3 +117,30 @@ def test_bucketed_layout_prunes_partitions_and_matches(spark, data, tmp_path):
               for r in knn_tiled(qs, pts, zoom=4, ring=2, k=3, escalate=False).collect()}
     got = {(r.query_id, r.rank, r.point_id) for r in out.collect()}
     assert got == expect
+
+
+def test_tiled_exactness_randomized_densities(spark):
+    """Randomized seeds, mixed dense-cluster + sparse-outlier densities,
+    several (zoom, ring) configs: the escalating tiled path must equal
+    brute force EVERY time — the coverage-proof guarantee, not luck."""
+    import random
+
+    rng = random.Random(11)
+    for trial, (zoom, ring) in enumerate([(6, 1), (8, 1), (5, 2)]):
+        pts_rows = []
+        # a dense cluster...
+        cx, cy = rng.uniform(-150, 150), rng.uniform(-60, 60)
+        for i in range(40):
+            pts_rows.append((i, cx + rng.uniform(-0.5, 0.5), cy + rng.uniform(-0.5, 0.5)))
+        # ...plus far scattered outliers (forces escalation for some queries)
+        for i in range(40, 55):
+            pts_rows.append((i, rng.uniform(-179, 179), rng.uniform(-80, 80)))
+        pts = spark.createDataFrame(pts_rows, "point_id long, p_lon double, p_lat double")
+        qs_rows = [(0, cx, cy), (1, rng.uniform(-179, 179), rng.uniform(-80, 80)),
+                   (2, rng.uniform(-179, 179), rng.uniform(-80, 80))]
+        qs = spark.createDataFrame(qs_rows, "query_id long, q_lon double, q_lat double")
+        exact = {(r.query_id, r.rank, r.point_id)
+                 for r in knn_bruteforce(qs, pts, k=4).collect()}
+        tiled = {(r.query_id, r.rank, r.point_id)
+                 for r in knn_tiled(qs, pts, zoom=zoom, ring=ring, k=4).collect()}
+        assert tiled == exact, f"trial {trial} z{zoom}/r{ring}"

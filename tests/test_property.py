@@ -95,3 +95,39 @@ def test_salted_manifest_handles_hot_tile(spark):
     assert r.n == n
     assert list(r.element_ids) == sorted(r.element_ids)
     assert r.element_ids[0] == "e00000000" and r.element_ids[-1] == f"e{n-1:08d}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+               min_size=1, max_size=80))
+def test_compressed_fill_equals_fullgrid_oracle(tiles):
+    """The coordinate-compressed frontier BFS (operators/holefill._fill_one)
+    must be BIT-EQUAL to the full-grid BFS oracle on arbitrary tile sets —
+    the compression-preserves-connectivity claim, property-tested."""
+    import numpy as np
+
+    from mapsplit_spark.operators.holefill import _fill_one
+
+    xs = np.array([t[0] for t in tiles], dtype=np.int64)
+    ys = np.array([t[1] for t in tiles], dtype=np.int64)
+    assert set(_fill_one(xs, ys)) == oracle.hole_fill(tiles)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sets(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+               min_size=1, max_size=40),
+       st.integers(50, 5000))
+def test_compressed_fill_scatter_invariance(tiles, spread):
+    """Scaling a tile set's coordinates by an arbitrary factor must not
+    change its hole STRUCTURE when gaps already exceed adjacency — the
+    bbox-independence property that replaced the old grid cap.  (Any
+    tile set spread so that former neighbours are >1 apart encloses
+    nothing: every member is isolated.)"""
+    import numpy as np
+
+    from mapsplit_spark.operators.holefill import _fill_one
+
+    xs = np.array([t[0] * spread for t in tiles], dtype=np.int64)
+    ys = np.array([t[1] * spread for t in tiles], dtype=np.int64)
+    if spread > 1:
+        assert _fill_one(xs, ys) == []  # isolated members → no holes
