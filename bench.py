@@ -191,6 +191,29 @@ def main() -> None:
             t0 = time.perf_counter()
             _scaling_pipeline(spark, scale_n).count()
             t_scale = min(t_scale, time.perf_counter() - t0)
+
+        # BASELINE.json headline vocabulary — tile-split throughput in
+        # IMAGES/sec over the images-table shape (input_hint schema,
+        # deterministic synthetic fixture, payload bytes excluded from
+        # the assignment path by design)
+        img_dir = "/tmp/bench_images_sf100"
+        if not os.path.exists(os.path.join(img_dir, "images.parquet")):
+            from mapsplit_spark.datagen import write_fixture_dir
+
+            write_fixture_dir(img_dir, sf=100.0, with_bytes=False)  # 1M images
+        from mapsplit_spark.operators.assign import assign_and_expand
+        from mapsplit_spark.sinks.manifests import tile_manifests as _tm
+
+        imgs = spark.read.parquet(f"{img_dir}/images.parquet")
+        n_images = imgs.count()
+        t_img = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _tm(assign_and_expand(
+                imgs.select("image_id", "lon", "lat"),
+                "image_id", "lon", "lat", 13, 0.1,
+            ), 13, assume_distinct=True).count()
+            t_img = min(t_img, time.perf_counter() - t0)
     finally:
         spark.stop()
     total = round(sum(times.values()), 3)
@@ -206,6 +229,8 @@ def main() -> None:
         "scale_rows": scale_n,
         "scale_sec": round(t_scale, 3),
         "scale_throughput_rows_per_sec": round(scale_n / t_scale, 1),
+        "images_split": n_images,
+        "tile_split_images_per_sec": round(n_images / t_img, 1),
         "total_sec": total,
         "result_rows": rows,
         "cores": cpus,
