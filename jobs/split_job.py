@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "P4 metadata null check aborts bad inputs)")
     p.add_argument("--workdir", default=None,
                    help="stage-checkpoint dir: enables kill/resume (pipeline.py)")
+    p.add_argument("--timing", action="store_true",
+                   help="-v/-t parity (CommandLineParams.java:121-122): print "
+                        "per-stage wall seconds and row counts from the "
+                        "pipeline metrics tables (stage detail needs --workdir)")
     return p
 
 
@@ -158,12 +162,23 @@ def main(argv=None) -> None:
     tiled = tiled.localCheckpoint(eager=False)  # reused by manifests/payload/raster
 
     # S5/P3/A4 — appointment-date incremental: a tile is written iff it
-    # contains an element newer than the appointment date (element-level
-    # timestamps live on the images table; grouped rows become modified
-    # through their member images)
+    # contains an element newer than the appointment date.  Element-level
+    # timestamps live on the images table; 'newer' is closed over group
+    # membership (a session/collection with ANY transitively-newer member
+    # is modified as a whole, so inherited/hole-filled tiles that hold no
+    # newer image row themselves are still rewritten — the reference
+    # marks modified tiles from each entity's own timestamp)
     if appointment_ms is not None:
         newer = src.filter(F.col(args.ts_col) > F.lit(appointment_ms)) \
             .select(F.col(args.id_col).alias("element_id"))
+        if args.sessions:
+            from mapsplit_spark.operators.propagate import propagate_newer
+            from mapsplit_spark.operators.sessions import session_edges
+
+            sess = spark.read.parquet(args.sessions)
+            edges = session_edges(sess, "session").unionByName(
+                session_edges(sess, "collection"))
+            newer = propagate_newer(edges, newer)
         modified_tiles = (
             tiled.join(newer, "element_id", "left_semi")
             .select("zoom", "tile_x", "tile_y").distinct()
@@ -215,6 +230,24 @@ def main(argv=None) -> None:
     if args.date_file:
         with open(args.date_file, "w") as fh:  # MapSplit.java:1543-1547
             fh.write(str(int(latest_ms)))
+
+    if args.timing:
+        if args.workdir:
+            stage_stats = (
+                pipe.metrics()
+                .groupBy("stage")
+                .agg(F.sum("n_rows").alias("rows"),
+                     F.max("wall_sec").alias("wall_sec"),
+                     F.count("*").alias("partitions"))
+                .collect()
+            )
+            order = {s: i for i, s in enumerate(pipe.STAGES)}
+            for r in sorted(stage_stats, key=lambda r: order.get(r.stage, 99)):
+                print(f"[timing] stage={r.stage} rows={r.rows} "
+                      f"partitions={r.partitions} wall_sec={r.wall_sec}")
+        else:
+            print("[timing] per-stage detail requires --workdir "
+                  "(stage metrics tables); total wall_sec is in the summary")
 
     m = spark.read.parquet(os.path.join(args.output, "manifests"))
     print(json.dumps({

@@ -40,8 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lat-col", default="lat")
     p.add_argument("--once", action="store_true",
                    help="drain available input then stop (availableNow)")
+    p.add_argument("--interval", default="2 seconds",
+                   help="micro-batch trigger interval in continuous mode "
+                        "(ignored with --once)")
     p.add_argument("--timeout-sec", type=float, default=None,
-                   help="stop after N seconds (continuous mode)")
+                   help="stop after N seconds (continuous mode; omit to run "
+                        "until killed)")
     return p
 
 
@@ -60,12 +64,16 @@ def main(argv=None) -> None:
         spark, args.input, args.checkpoint, args.output,
         args.id_col, args.lon_col, args.lat_col, args.zoom, args.border,
         schema=schema,
+        processing_interval=None if args.once else args.interval,
     )
     if args.once:
-        q.awaitTermination()
+        q.awaitTermination()  # availableNow: drains existing files, stops
     else:
+        # processingTime trigger: keeps tailing — files arriving after
+        # start ARE processed until timeout (or forever without one)
         q.awaitTermination(args.timeout_sec)
         q.stop()
+        q.awaitTermination()  # join the stopped query before reading output
     out = spark.read.parquet(args.output)
     print(json.dumps({
         "rows": out.count(),

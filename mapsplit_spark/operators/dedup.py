@@ -108,7 +108,8 @@ def _banded(signatures: DataFrame, bands: int, id_col: str) -> DataFrame:
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
                         id_col: str = "doc_id",
-                        max_bucket: int | None = 1024) -> DataFrame:
+                        max_bucket: int | None = 1024,
+                        observation=None) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band hash are
     candidates.  → distinct (id_a, id_b) with id_a < id_b.
 
@@ -121,7 +122,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     of templated pages, where every band collapses to one bucket and the
     "other bands will catch it" argument fails) still verifies as one
     connected dup group through the hub.  Pass ``max_bucket=None`` for
-    unconditional all-pairs."""
+    unconditional all-pairs.
+
+    RECALL CAVEAT when the cap triggers: star edges guarantee
+    connectivity only for a bucket holding ONE near-dup cluster.  If a
+    >cap bucket mixes several distinct dup groups (band-hash collision,
+    heterogeneous templated corpora), members not similar to the
+    bucket's min-id hub lose their pairs unless another (≤cap) band
+    catches them.  Pass a ``pyspark.sql.Observation`` as ``observation``
+    to measure this in-flight: after the first action it reports
+    ``n_hot_buckets`` / ``max_bucket_size`` / ``n_star_docs`` at zero
+    extra cost (piggybacks the existing bucket-stats aggregate); alert on
+    ``n_hot_buckets > 0``.  The full histogram is ``bucket_sizes()``."""
     banded = _banded(signatures, bands, id_col)
     if max_bucket is None:
         small, star = banded, None
@@ -129,6 +141,14 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
         stats = banded.groupBy("band", "bhash").agg(
             F.count("*").alias("bsize"), F.min(id_col).alias("hub")
         )
+        if observation is not None:
+            hot = F.col("bsize") > max_bucket
+            stats = stats.observe(
+                observation,
+                F.sum(hot.cast("long")).alias("n_hot_buckets"),
+                F.max("bsize").alias("max_bucket_size"),
+                F.sum(F.when(hot, F.col("bsize")).otherwise(0)).alias("n_star_docs"),
+            )
         small = banded.join(
             stats.filter(F.col("bsize") <= max_bucket).select("band", "bhash"),
             ["band", "bhash"], "left_semi",
@@ -190,9 +210,15 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.7,
                       max_bucket: int | None = 1024,
-                      materialize_shingles: bool = True) -> DataFrame:
+                      materialize_shingles: bool = True,
+                      observation=None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → minhash → band
     bucket join (hot buckets capped) → exact Jaccard verification.
+
+    The default ``max_bucket`` makes recall in >cap buckets approximate
+    (star edges — see ``lsh_candidate_pairs``); pass an ``Observation``
+    to surface ``n_hot_buckets`` per run, or ``max_bucket=None`` for
+    exact all-pairs LSH.
 
     The shingle relation feeds three consumers (signatures + both verify
     sides); Spark reuses none of those subtrees, so it is materialized
@@ -202,7 +228,7 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     if materialize_shingles:
         shingled = shingled.localCheckpoint(eager=True)
     sigs = minhash_signatures(shingled, num_hashes, id_col)
-    cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket, observation)
     return jaccard_verify(cands, shingled, threshold, id_col)
 
 

@@ -176,6 +176,13 @@ def knn_tiled(queries: DataFrame, points: DataFrame, zoom: int, ring: int = 1,
     to brute force — by construction the fallback set is tiny (the few
     sparse-region queries).  ``escalate=False`` keeps the single-probe
     behaviour for callers that sized zoom/ring themselves.
+
+    NOTE: ``escalate=True`` executes Spark jobs EAGERLY at call time
+    (the per-level accept/retry decision needs each level's coverage
+    proof — eager localCheckpoint + isEmpty per zoom), unlike the lazy
+    single-probe path.  The checkpointed intermediates backing the
+    returned DataFrame are context-cleaned once the caller drops its
+    reference (localCheckpoint blocks are GC-managed, not pinned).
     """
     pending = queries.select("query_id", "q_lon", "q_lat")
     results: list[DataFrame] = []

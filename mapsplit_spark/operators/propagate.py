@@ -106,10 +106,24 @@ def complete_relation_propagation(rel_members: DataFrame, rel_tiles: DataFrame,
     )
 
 
+def _semi_naive_step(rel_edges: DataFrame, delta: DataFrame,
+                     resolved: DataFrame) -> DataFrame:
+    """One semi-naive iteration: derive the next frontier from the DELTA
+    only (classic datalog TC optimization — joining the accumulated
+    relation instead would grow the join input every iteration), then
+    anti-join away rows already resolved.  ``rel_edges``: (dst, src)."""
+    derived = (
+        rel_edges.join(delta, rel_edges["src"] == delta["element_id"])
+        .select(F.col("dst").alias("element_id"), "tile_x", "tile_y")
+        .distinct()
+    )
+    return derived.join(resolved, ["element_id", "tile_x", "tile_y"], "left_anti")
+
+
 def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
                                group_col: str = "relation_id",
                                member_col: str = "member_id",
-                               max_iters: int = 10) -> DataFrame:
+                               max_iters: int = 25) -> DataFrame:
     """J3/J4 — relations may reference relations (forward/cyclic refs);
     the reference retries unresolved ones until no progress
     (postProcessRelations, MapSplit.java:772-790).
@@ -120,10 +134,14 @@ def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
     skipped (left-join semantics, MapSplit.java:552-581); a relation
     whose tile set stays empty is dropped (:625-628).
 
-    Driver-side loop, bounded by nesting depth ≤ ``max_iters`` — each
-    iteration is one shuffle join on the (small) relation edge set.
-    Converges monotonically (tile sets only grow) like the reference's
-    ``while postSize < preSize`` loop.
+    Driver-side loop, bounded by nesting depth — each iteration is one
+    shuffle join on the (small) relation edge set, evaluated semi-naively
+    (delta only, see ``_semi_naive_step``).  Converges monotonically
+    (tile sets only grow) like the reference's ``while postSize <
+    preSize`` loop.  The reference iterates uncapped; ``max_iters`` is a
+    runaway guard for genuinely cyclic-and-growing inputs, and hitting
+    it with work remaining raises instead of silently returning an
+    incomplete tile set.
     """
     resolved = (
         rel_members.join(
@@ -136,21 +154,44 @@ def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
     rel_edges = rel_members.select(
         F.col(group_col).alias("dst"), F.col(member_col).alias("src")
     )
-    # semi-naive evaluation: each iteration joins the edge set against
-    # only the DELTA (rows derived last iteration), not the full
-    # accumulated relation — the classic datalog TC optimization; the
-    # join input shrinks as the fixed point converges instead of growing
     delta = resolved
     for _ in range(max_iters):
-        derived = (
-            rel_edges.join(delta, rel_edges["src"] == delta["element_id"])
-            .select(F.col("dst").alias("element_id"), "tile_x", "tile_y")
-            .distinct()
-        )
-        delta = derived.join(
-            resolved, ["element_id", "tile_x", "tile_y"], "left_anti"
-        ).localCheckpoint(eager=True)
+        delta = _semi_naive_step(rel_edges, delta, resolved).localCheckpoint(eager=True)
         if delta.isEmpty():
-            break
+            return resolved
         resolved = resolved.union(delta).localCheckpoint(eager=True)
-    return resolved
+    raise RuntimeError(
+        f"relation fixed point did not converge within max_iters={max_iters} "
+        f"(relation nesting deeper than the cap — the reference iterates to "
+        f"no-progress, MapSplit.java:772-790; raise max_iters rather than "
+        f"accept a silently truncated tile set)"
+    )
+
+
+def propagate_newer(edges: DataFrame, newer_ids: DataFrame,
+                    max_iters: int = 25) -> DataFrame:
+    """Incremental S5 support: close the 'newer than the appointment
+    date' set over group membership — a session/collection is modified
+    iff ANY member (transitively) is newer, so its WHOLE tile set
+    (including hole-filled / J5-J6-inherited tiles that contain no newer
+    member row themselves) gets rewritten, matching the reference's
+    entity-level modified marking (MapSplit.java:435-437).
+
+    ``edges``: (group_id, member_id) across all kinds; ``newer_ids``:
+    single-column ``element_id``.  → distinct element_id superset.
+    """
+    newer = newer_ids.select("element_id").distinct().localCheckpoint(eager=True)
+    delta = newer
+    for _ in range(max_iters):
+        derived = (
+            edges.join(delta, edges["member_id"] == delta["element_id"])
+            .select(F.col("group_id").alias("element_id")).distinct()
+        )
+        delta = derived.join(newer, "element_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if delta.isEmpty():
+            return newer
+        newer = newer.union(delta).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"newer-propagation did not converge within max_iters={max_iters}"
+    )

@@ -182,7 +182,12 @@ def ring_pip_sql(lon: str, lat: str, ring: list[tuple[float, float]]) -> str:
     for i in range(n):
         xi, yi = ring[i]
         xj, yj = ring[i - 1]  # previous vertex — numpy's roll(+1) convention
-        assert yi != yj, "ring_pip_sql requires no horizontal edges"
+        if yi == yj:  # explicit raise: an assert is stripped under -O and
+            # the generated SQL would divide by zero → silently wrong clips
+            raise ValueError(
+                f"ring_pip_sql requires no horizontal edges (vertices {i - 1},{i} "
+                f"share latitude {yi!r})"
+            )
         terms.append(
             f"(CASE WHEN (({yi!r} > ({lat})) <> ({yj!r} > ({lat}))) AND "
             f"(({lon}) < ({xj!r} - {xi!r}) * (({lat}) - {yi!r}) / ({yj!r} - {yi!r}) + {xi!r}) "

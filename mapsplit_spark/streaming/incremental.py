@@ -49,12 +49,19 @@ def modified_tile_counts(pairs: DataFrame, watermark: str = "10 minutes",
 
 def start_incremental_job(spark, src_dir: str, checkpoint_dir: str, out_dir: str,
                           id_col: str, lon_col: str, lat_col: str, zoom: int,
-                          border: float = 0.1, schema=None) -> StreamingQuery:
+                          border: float = 0.1, schema=None,
+                          processing_interval: str | None = None) -> StreamingQuery:
     """File-source streaming pipeline: tail ``src_dir`` for new parquet,
     maintain per-tile windowed counts, upsert each micro-batch into
     ``out_dir`` via foreachBatch (checkpoint-recoverable — kill and
     restart resumes from the last committed offsets; on a real cluster
     the sink is an Iceberg MERGE).
+
+    ``processing_interval=None`` (default) runs drain-and-stop
+    (``availableNow`` — process everything present, then terminate);
+    pass a micro-batch interval (e.g. ``"2 seconds"``) for CONTINUOUS
+    tailing, where files landing after start are picked up until the
+    caller stops the query.
     """
     reader = spark.readStream.schema(schema) if schema is not None else spark.readStream
     stream = reader.parquet(src_dir)
@@ -67,10 +74,13 @@ def start_incremental_job(spark, src_dir: str, checkpoint_dir: str, out_dir: str
             .write.mode("append").parquet(out_dir)
         )
 
-    return (
+    writer = (
         counts.writeStream.outputMode("update")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()

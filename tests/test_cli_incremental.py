@@ -231,3 +231,70 @@ def test_optimize_raster_mbtiles_multizoom(spark, images_dir, outbase, capsys):
         got.add((z, x, (1 << z) - tms_y - 1))  # undo per-row TMS flip
         assert len(blob) > 0
     assert got == man_keys
+
+
+def test_date_file_sessions_propagates_newer(spark, outbase, capsys):
+    """S5 + sessions: a group containing ANY transitively-newer member is
+    modified as a WHOLE.  The hard branch is a COLLECTION tile inherited
+    from a sibling session: col1 = [ses1, ses2]; only ses1's image is
+    newer, yet col1's tile set includes ses2's tile T3 — a tile holding
+    NO newer element row at all (sessions don't back-propagate into
+    collection members).  Pre-fix, T3 was silently skipped."""
+    from mapsplit_spark import tilemath as tm
+
+    base = os.path.join(outbase, "sessnewer")
+    os.makedirs(base, exist_ok=True)
+    # three far-apart tiles; img2 is the only element newer than the date
+    def pt(tx, ty):
+        return (float(tm.tile2lon(tx, 13)) + 0.01, float(tm.tile2lat(ty, 13)) - 0.001)
+
+    (x1, y1), (x2, y2), (x3, y3) = pt(1000, 1000), pt(3000, 3000), pt(5000, 5000)
+    imgs = spark.createDataFrame(
+        [("img1", x1, y1, 1000), ("img2", x2, y2, 9000), ("img3", x3, y3, 1000)],
+        "image_id string, lon double, lat double, ts_ms long",
+    )
+    imgs.coalesce(1).write.mode("overwrite").parquet(f"{base}/images.parquet")
+    sess = spark.createDataFrame(
+        [("ses1", "session", ["img2"], {}),
+         ("ses2", "session", ["img3"], {}),
+         ("col1", "collection", ["ses1", "ses2"], {})],
+        "session_id string, kind string, member_ids array<string>, "
+        "tags map<string,string>",
+    )
+    sess.coalesce(1).write.mode("overwrite").parquet(f"{base}/sessions.parquet")
+    date_file = os.path.join(base, "latest.date")
+    with open(date_file, "w") as fh:
+        fh.write("5000")  # img2 (9000) is newer; img1/img3 (1000) are not
+
+    out = os.path.join(base, "out")
+    r = _run([
+        "--input", f"{base}/images.parquet", "--output", out,
+        "--sessions", f"{base}/sessions.parquet",
+        "--zoom", "13", "--border", "0.0", "--date-file", date_file,
+    ], capsys)
+    assert r["incremental"]
+    man = spark.read.parquet(os.path.join(out, "manifests"))
+    ids_by_tile = {(r.tile_x, r.tile_y): set(r.element_ids) for r in man.collect()}
+    # col1 is newer through ses1→img2 ⇒ BOTH its tiles written.  T3 =
+    # (5000,5000) holds rows {img3, ses2, col1} — none is a newer image,
+    # so per-element marking alone would have dropped it.  Standalone
+    # old img1's tile T1 stays untouched.
+    assert set(ids_by_tile) == {(3000, 3000), (5000, 5000)}
+    assert ids_by_tile[(5000, 5000)] == {"img3", "ses2", "col1"}
+    assert ids_by_tile[(3000, 3000)] == {"img2", "ses1", "col1"}
+
+
+def test_timing_flag_prints_stage_metrics(spark, images_dir, outbase, capsys):
+    """--timing (-v/-t parity, CommandLineParams.java:121-122): per-stage
+    wall/rows from the pipeline metrics tables."""
+    out = os.path.join(outbase, "timing")
+    split_main([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--border", "0.1",
+        "--workdir", os.path.join(outbase, "timing_wd"), "--timing",
+    ])
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("[timing]")]
+    stages = {ln.split("stage=")[1].split()[0] for ln in lines}
+    assert {"assign", "manifests"} <= stages
+    assert all("wall_sec=" in ln and "rows=" in ln for ln in lines)

@@ -108,3 +108,31 @@ def test_minhash_recall_with_default_cap(docs):
             minhash_near_dups(docs, threshold=0.5, max_bucket=64).collect()}
     assert ("d0", "d1") in rows
     assert ("d0", "d2") in rows or ("d1", "d2") in rows
+
+
+def test_hot_bucket_observation_reports_cap_hits(spark):
+    """The Observation hook surfaces hot-bucket degradation in-flight
+    (piggybacked on the existing bucket-stats aggregate — no extra job):
+    n_hot_buckets > 0 exactly when the star fallback engaged."""
+    from pyspark.sql import Observation
+
+    from mapsplit_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta copy {i % 2}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    obs = Observation("lsh_hot")
+    out = minhash_near_dups(docs, threshold=0.5, max_bucket=4, observation=obs)
+    assert out.count() > 0  # action → metrics available
+    m = obs.get
+    assert m["n_hot_buckets"] > 0
+    assert m["max_bucket_size"] >= 20  # two 20-doc near-identical groups
+    assert m["n_star_docs"] > 0
+
+    obs2 = Observation("lsh_cold")
+    out2 = minhash_near_dups(docs.limit(4), threshold=0.5, max_bucket=1024,
+                             observation=obs2)
+    out2.count()
+    assert obs2.get["n_hot_buckets"] == 0

@@ -243,3 +243,53 @@ def test_holefill_handles_scattered_groups_exactly(spark):
     assert far == {(x, y) for _, x, y in scattered}  # nothing enclosed
     ring_got = {(r.tile_x, r.tile_y) for r in got if r.group_id == "ring"}
     assert ring_got == set(ring) | oracle.hole_fill(set(ring))
+
+
+def _chain_edges(spark, depth: int):
+    """r1 → n0, r2 → r1, ..., r{depth} → r{depth-1}: nesting depth = depth."""
+    rows = [("r1", "n0")] + [
+        (f"r{i}", f"r{i - 1}") for i in range(2, depth + 1)
+    ]
+    return spark.createDataFrame(rows, "relation_id string, member_id string")
+
+
+def test_relation_fixed_point_deep_chain_converges(spark, node_tiles):
+    """Nesting deeper than the OLD default cap (10) converges under the
+    new default — the round-2 silent-truncation bug would have returned
+    an incomplete set here."""
+    tiles_df, _ = node_tiles
+    got = relation_tiles_fixed_point(_chain_edges(spark, 12), tiles_df)
+    n0_tiles = {
+        (r.tile_x, r.tile_y) for r in tiles_df.filter("element_id = 'n0'").collect()
+    }
+    by_rel = {}
+    for r in got.filter(F.col("element_id").startswith("r")).collect():
+        by_rel.setdefault(r.element_id, set()).add((r.tile_x, r.tile_y))
+    assert set(by_rel) == {f"r{i}" for i in range(1, 13)}
+    assert by_rel["r12"] == n0_tiles  # the top of the chain fully resolved
+
+
+def test_relation_fixed_point_truncation_is_loud(spark, node_tiles):
+    """Hitting max_iters with a nonempty delta RAISES instead of
+    silently returning a truncated tile set (the reference iterates to
+    no-progress uncapped, MapSplit.java:772-790)."""
+    tiles_df, _ = node_tiles
+    with pytest.raises(RuntimeError, match="did not converge"):
+        relation_tiles_fixed_point(_chain_edges(spark, 8), tiles_df, max_iters=4)
+
+
+def test_propagate_newer_closes_over_membership(spark):
+    """S5 incremental: a group containing a newer member (transitively,
+    collection → session → image) is itself 'newer', so ALL its tiles —
+    including inherited/hole-filled ones — get rewritten."""
+    from mapsplit_spark.operators.propagate import propagate_newer
+
+    edges = spark.createDataFrame(
+        [("s1", "img1"), ("s1", "img2"), ("s2", "img3"),
+         ("c1", "s1"), ("c2", "s2"), ("c3", "c1")],
+        "group_id string, member_id string",
+    )
+    newer = spark.createDataFrame([("img2",)], "element_id string")
+    got = {r.element_id for r in propagate_newer(edges, newer).collect()}
+    # img2 newer ⇒ s1 (contains it) ⇒ c1 (contains s1) ⇒ c3 (contains c1)
+    assert got == {"img2", "s1", "c1", "c3"}

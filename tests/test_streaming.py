@@ -130,3 +130,45 @@ def test_stream_job_cli_drains_and_resumes(spark, images_dir, tmp_path):
         src.select("image_id", "lon", "lat", "ts"), "image_id", "lon", "lat", 13, 0.1
     ).count()
     assert n2 == expect
+
+
+def test_continuous_trigger_picks_up_late_files(spark, dirs):
+    """processingTime trigger ('continuous mode'): files landing AFTER
+    the query starts are processed in the same invocation — the contract
+    the stream_job CLI advertises for its non---once path."""
+    import time
+
+    src, ckpt = dirs
+    out = os.path.join(WORK, "out_cont")
+    schema = "event_id long, lon double, lat double, ts timestamp"
+    _write_batch(os.path.join(src, "c1.parquet"), 0, 100, day=5)
+
+    q = start_incremental_job(spark, src, ckpt, out, "event_id", "lon", "lat",
+                              zoom=13, schema=schema,
+                              processing_interval="1 seconds")
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.exists(out) and any(
+                f.endswith(".parquet") for f in os.listdir(out)
+            ):
+                break
+            time.sleep(0.5)
+        n1 = spark.read.parquet(out).count()
+        assert n1 > 0
+        # drop a second file while the query is RUNNING
+        _write_batch(os.path.join(src, "c2.parquet"), 100, 100, day=6)
+        deadline = time.time() + 120
+        n2 = n1
+        while time.time() < deadline:
+            try:
+                n2 = spark.read.parquet(out).count()
+            except Exception:  # noqa: BLE001 — sink mid-write
+                n2 = n1
+            if n2 > n1:
+                break
+            time.sleep(0.5)
+        assert n2 > n1, "late-arriving file was never processed"
+    finally:
+        q.stop()
+        q.awaitTermination()
