@@ -348,6 +348,49 @@ def q_complete_rel(spark, sf_dir):
     return complete_relation_propagation(rel_members, rel_tiles, way_members, node_tiles)
 
 
+def q_complete_rel_mp(spark, sf_dir):
+    """P6 — multipolygon tag predicate (-C): complete-relations
+    down-propagation restricted to relations tagged type=multipolygon
+    (MapSplit.java:641, 672-674; SplitTest.java:91-103), run through the
+    PRODUCTION sessions operator (sessions.session_assignments with
+    multipolygon_only=True) over a sessions table assembled in-query:
+    ways ≡ lineitem groups, collections ≡ bounded orders groups tagged
+    multipolygon iff o_custkey is even.  Odd-custkey collections still
+    resolve their own tiles (J3) but their members inherit NOTHING —
+    the restriction is what the value hash pins.  Hole fill is disabled
+    (min_tiles=2^60) to keep the oracle SQL-expressible; fill semantics
+    have their own gate (session_holefill)."""
+    from mapsplit_spark.operators.sessions import session_assignments
+
+    li = _t(spark, sf_dir, "lineitem")
+    ways = (
+        li.groupBy((F.col("l_orderkey") + R1).alias("session_id"))
+        .agg(F.collect_list(F.expr(NID)).alias("member_ids"))
+        .select(
+            "session_id", F.lit("session").alias("kind"), "member_ids",
+            F.lit(None).cast("map<string,string>").alias("tags"),
+        )
+    )
+    cols = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < REL_CUST_LIMIT)
+        .groupBy((F.col("o_custkey") + R2).alias("session_id"))
+        .agg(F.collect_list(F.col("o_orderkey") + R1).alias("member_ids"))
+        .select(
+            "session_id", F.lit("collection").alias("kind"), "member_ids",
+            F.create_map(
+                F.lit("type"),
+                F.when((F.col("session_id") - R2) % 2 == 0, F.lit("multipolygon"))
+                .otherwise(F.lit("route")),
+            ).alias("tags"),
+        )
+    )
+    return session_assignments(
+        _event_pairs(spark, sf_dir), ways.unionByName(cols),
+        complete=True, multipolygon_only=True, holefill_min=1 << 60,
+    )
+
+
 def q_mbtiles_rows(spark, sf_dir):
     """S7 — MBTiles tile-row construction: TMS y-flip
     (MapSplit.java:1359-1364) + manifest JSON blob, as the exact relation
@@ -530,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_ring": q_clip_ring,
         "relation_tiles": q_relation_tiles,
         "complete_rel": q_complete_rel,
+        "complete_rel_mp": q_complete_rel_mp,
         "mbtiles_rows": q_mbtiles_rows,
         "lsh_near_dup": q_lsh_near_dup,
         "tile_cellid": q_tile_cellid,
@@ -701,6 +745,43 @@ r3 AS (SELECT DISTINCT rid AS element_id, r2.tile_x, r2.tile_y
 """
 
 
+def _complete_rel_mp_oracle() -> str:
+    """Mirror of sessions.session_assignments(complete=True,
+    multipolygon_only=True, hole fill disabled) over the in-query
+    sessions table of q_complete_rel_mp: way union (drop-if-missing) →
+    J2 backfill → collection tiles (J3; one nesting level, so the fixed
+    point is a single join) → J5/J6 down-propagation for MULTIPOLYGON
+    (even-custkey) collections only."""
+    return _oracle_session_cte().replace(
+        "SELECT l_orderkey AS way_id",
+        f"SELECT l_orderkey + {R1} AS way_id",
+    ) + f""",
+nodes_aug AS (
+  SELECT element_id, tile_x, tile_y FROM nodes
+  UNION ALL
+  SELECT o.member_id AS element_id, w.tile_x, w.tile_y
+  FROM ok o JOIN wt w ON o.way_id = w.way_id
+),
+rm AS (SELECT o_custkey + {R2} AS relation_id, o_orderkey + {R1} AS member_id,
+              (o_custkey % 2 = 0) AS is_mp
+       FROM orders WHERE o_custkey < {REL_CUST_LIMIT}),
+rt AS (SELECT DISTINCT rm.relation_id, wt.tile_x, wt.tile_y
+       FROM rm JOIN wt ON rm.member_id = wt.way_id),
+inh AS (SELECT rm.member_id AS element_id, rt.tile_x, rt.tile_y
+        FROM rm JOIN rt ON rm.relation_id = rt.relation_id
+        WHERE rm.is_mp),
+aug AS (SELECT m.member_id AS element_id, i.tile_x, i.tile_y
+        FROM inh i JOIN members m ON i.element_id = m.way_id)
+SELECT DISTINCT element_id, tile_x, tile_y FROM (
+  SELECT element_id, tile_x, tile_y FROM nodes_aug
+  UNION ALL SELECT way_id, tile_x, tile_y FROM wt
+  UNION ALL SELECT relation_id, tile_x, tile_y FROM rt
+  UNION ALL SELECT * FROM inh
+  UNION ALL SELECT * FROM aug
+) u
+"""
+
+
 def _complete_rel_oracle() -> str:
     return _oracle_session_cte().replace(
         "SELECT l_orderkey AS way_id",
@@ -772,6 +853,7 @@ SELECT DISTINCT element_id, tile_x, tile_y FROM (
 ) u
 """,
         "complete_rel": _complete_rel_oracle(),
+        "complete_rel_mp": _complete_rel_mp_oracle(),
         "tile_cellid": f"""
 WITH tiles AS (SELECT DISTINCT tile_x, tile_y FROM ({nodes}) z)
 SELECT tile_x, tile_y,
