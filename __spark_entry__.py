@@ -432,13 +432,45 @@ def q_tile_cellid(spark, sf_dir):
     )
 
 
+# §2.6 gate fixture: three ring-shaped groups appended to the session
+# tile relation so the gate EXERCISES an actual fill (the driver
+# fixture's scattered sessions enclose nothing on their own).  Disjoint
+# way_id namespace; expected holes below are the checkAndFill result
+# (verified against oracle.hole_fill and the hypothesis property suite):
+#   A: 3×3 rectangle ring  → encloses the 1 center tile
+#   B: 5×5 rectangle ring  → encloses the inner 3×3 (9 tiles, and the
+#      compressed-grid fill must expand a >1-cell rectangle)
+#   C: radius-2 manhattan diamond → encloses the 5-tile plus shape
+#      (non-rectangular enclosure)
+RING_GROUPS = {
+    9_000_001: sorted({(1000 + dx, 2000 + dy) for dx in range(3) for dy in range(3)}
+                      - {(1001, 2001)}),
+    9_000_002: sorted({(3000 + dx, 4000) for dx in range(5)}
+                      | {(3000 + dx, 4004) for dx in range(5)}
+                      | {(3000, 4000 + dy) for dy in range(5)}
+                      | {(3004, 4000 + dy) for dy in range(5)}),
+    9_000_003: sorted({(5000 + dx, 6000 + dy) for dx in range(-2, 3)
+                       for dy in range(-2, 3) if abs(dx) + abs(dy) == 2}),
+}
+RING_HOLES = {
+    9_000_001: [(1001, 2001)],
+    9_000_002: [(3000 + dx, 4000 + dy) for dx in (1, 2, 3) for dy in (1, 2, 3)],
+    9_000_003: [(4999, 6000), (5000, 5999), (5000, 6000), (5000, 6001), (5001, 6000)],
+}
+
+
 def q_session_holefill(spark, sf_dir):
-    """§2.6 hole-fill over session tile sets (flood fill not
-    SQL-expressible → rows-only gate; ring semantics pytest-verified)."""
+    """§2.6 hole-fill over session tile sets.  The flood fill itself is
+    not SQL-expressible, but its RESULT on a fixed fixture is: the ring
+    groups above have deterministic hole sets, embedded in the oracle as
+    a VALUES table (same trick as tile_merge) — so this is a full
+    value-hash gate whose spark_rows EXCEED the plain session union."""
     from mapsplit_spark.operators.holefill import fill_holes
 
+    rows = [(gid, x, y) for gid, tiles in RING_GROUPS.items() for x, y in tiles]
+    rings = spark.createDataFrame(rows, "group_id long, tile_x long, tile_y long")
     wt = q_session_tiles(spark, sf_dir).withColumnRenamed("way_id", "group_id")
-    return fill_holes(wt).withColumnRenamed("group_id", "way_id")
+    return fill_holes(wt.unionByName(rings)).withColumnRenamed("group_id", "way_id")
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -745,6 +777,22 @@ r3 AS (SELECT DISTINCT rid AS element_id, r2.tile_x, r2.tile_y
 """
 
 
+def _ring_values() -> str:
+    """The RING_GROUPS fixture + its expected checkAndFill holes as a
+    SQL VALUES list (BIGINT-cast so the union's way_id type matches)."""
+    rows = [
+        (gid, x, y)
+        for gid, tiles in RING_GROUPS.items() for x, y in tiles
+    ] + [
+        (gid, x, y)
+        for gid, holes in RING_HOLES.items() for x, y in holes
+    ]
+    return ", ".join(
+        f"(CAST({g} AS BIGINT), CAST({x} AS BIGINT), CAST({y} AS BIGINT))"
+        for g, x, y in sorted(rows)
+    )
+
+
 def _complete_rel_mp_oracle() -> str:
     """Mirror of sessions.session_assignments(complete=True,
     multipolygon_only=True, hole fill disabled) over the in-query
@@ -902,13 +950,15 @@ SELECT element_id, tile_x, tile_y FROM (
   {sqlgen.assign_cte_sql('inside', 'event_id', 'lon', 'lat', ZOOM, 0.0)}
 ) z
 """,
-        # session_holefill: the flood fill itself is not SQL-expressible,
-        # but on THIS input (spatially scattered session tile sets) the
-        # expected hole set is empty, so the correct expected output
-        # equals the session tile union — which IS expressible.  Ring
-        # geometries (where fill adds tiles) are covered by pytest
-        # against the pure-Python oracle (tests/test_operators.py).
-        "session_holefill": _oracle_session_cte() + "SELECT way_id, tile_x, tile_y FROM wt",
+        # session_holefill: scattered driver sessions enclose nothing
+        # (their contribution = the session union, SQL-expressible); the
+        # RING_GROUPS fixture contributes members + deterministic holes,
+        # embedded as a VALUES table — a real fill, value-hash-gated
+        "session_holefill": _oracle_session_cte() + f"""
+SELECT way_id, tile_x, tile_y FROM wt
+UNION ALL
+SELECT * FROM (VALUES {_ring_values()}) v(way_id, tile_x, tile_y)
+""",
         "node_backfill": _oracle_session_cte() + """
 SELECT DISTINCT element_id, tile_x, tile_y FROM (
   SELECT o.member_id AS element_id, w.tile_x, w.tile_y
