@@ -563,10 +563,11 @@ def q_emb_ann_topk(spark, sf_dir):
     cell assignment, multi-probe expansion, per-cell join, dedup and
     re-rank must reconstruct the exact top-k when every cell is probed —
     gating that the partitioned scale path neither loses nor duplicates
-    candidates across cells.  Pruned-probe RECALL is pytest-verified on
-    clustered fixtures (test_similarity_text) — this driver fixture's
-    embeddings are near-random (max cosine ≈ 0.36), so no honest
-    pruning has recall 1 on it."""
+    candidates across cells.  This driver fixture's embeddings are
+    near-random (max cosine ≈ 0.36), so no honest pruning has recall 1
+    on it — GENUINE pruning is gated separately on derived clustered
+    vectors (emb_ann_pruned) and its recall degradation is
+    regression-tested in test_similarity_text."""
     from mapsplit_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -576,6 +577,42 @@ def q_emb_ann_topk(spark, sf_dir):
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec"))
     return ivf_topk(queries, corpus, EMB_DIM, k=3, n_clusters=16, n_probe=16) \
         .withColumnRenamed("rank", "rnk")
+
+
+# pruned-ANN gate: 8 well-separated synthetic clusters derived from
+# vec_id (sqlgen.clustered_vec_elem_sql) — within-cluster cosine ≈ 0.99,
+# across ≈ 0.05, so the exact top-3 is provably within-cluster and a
+# pruned probe that covers the query's cluster reconstructs it exactly
+ANN_TRUE_CLUSTERS = 8
+
+
+def _clustered_elems() -> list[str]:
+    return [
+        sqlgen.clustered_vec_elem_sql("vec_id", i, ANN_TRUE_CLUSTERS)
+        for i in range(EMB_DIM)
+    ]
+
+
+def q_emb_ann_pruned(spark, sf_dir):
+    """IVF ANN with GENUINE pruning oracle-checked end-to-end: clustered
+    embeddings derived deterministically from vec_id, k-means cells,
+    n_probe=3 of 8 — the pruned candidate path must still reconstruct
+    the exact top-k because cluster separation >> noise (the knn_tiled
+    coverage-proof construction transplanted to vector search; closes
+    the round-2 'gates plumbing, not pruning' caveat)."""
+    from mapsplit_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("array(" + ", ".join(_clustered_elems()) + ")").alias("cvec")
+    )
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("qid"), F.col("cvec").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("cvec").alias("c_vec"))
+    return ivf_topk(
+        queries, corpus, EMB_DIM, k=3,
+        n_clusters=ANN_TRUE_CLUSTERS, n_probe=3,
+    ).withColumnRenamed("rank", "rnk")
 
 
 def q_emb_cosine_topk(spark, sf_dir):
@@ -623,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_ann_pruned": q_emb_ann_pruned,
     }
 
 
@@ -1062,6 +1100,21 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid A
 SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 3
 """,
     }
+    # pruned-probe ANN over the derived clustered vectors: the oracle is
+    # the EXACT cosine top-k on the same vectors (separation argument in
+    # sqlgen.clustered_vec_elem_sql makes pruning provably lossless)
+    celems = ", ".join(_clustered_elems())
+    oracles["emb_ann_pruned"] = f"""
+WITH e AS (SELECT vec_id, list_value({celems}) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS q_vec FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS cid, v AS c_vec FROM e),
+s AS (
+  SELECT qid, cid, ROUND(({dot_qc}) / (SQRT({dot_qq}) * SQRT({dot_cc})), 6) AS cos_sim
+  FROM q CROSS JOIN c WHERE qid <> cid
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rnk FROM s)
+SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 3
+"""
     # the tile-ring kNN provably covers the exact top-k at z4/ring2 for
     # this density, so its oracle is the exact-kNN SQL itself; likewise
     # full-probe IVF reconstructs the exact top-3

@@ -221,6 +221,22 @@ def quadkey_sql(x: str, y: str, zoom: int) -> str:
     return "(" + " || ".join(digits) + ")"
 
 
+def clustered_vec_elem_sql(key: str, i: int, n_clusters: int) -> str:
+    """Element ``i`` of a deterministic CLUSTERED embedding derived from
+    an integer key: cluster ``c = key % n_clusters`` puts weight 10.0 on
+    dimension ``c``; every dimension adds small deterministic noise in
+    [0, 0.2).  Center separation (cosine ≈ 0.05 across clusters vs
+    ≈ 0.99 within) dwarfs the noise, so the exact cosine top-k of any
+    query is provably within its own cluster — which is what lets a
+    PRUNED-probe ANN result be gated against the exact-kNN oracle.
+    Integer arithmetic only; identical text in both engines."""
+    noise = f"(CAST(((({key}) * {97 * i + 13}) % 1000) AS DOUBLE) / 5000.0)"
+    if i < n_clusters:
+        return (f"((CASE WHEN ({key}) % {n_clusters} = {i} "
+                f"THEN 10.0 ELSE 0.0 END) + {noise})")
+    return noise
+
+
 def derived_lon_sql(key: str) -> str:
     return f"(CAST((({key}) * 9973) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
 

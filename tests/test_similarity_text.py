@@ -107,3 +107,27 @@ def test_winnowing_guarantee_and_determinism(spark):
     out = {r.doc_id: (r.n_fp, r.fp_hash) for r in winnow_fingerprints(docs).collect()}
     assert out["a"] == out["c"] and out["a"] != out["d"]
     assert out["a"][0] == len(sets["a"])
+
+
+def test_ivf_pruned_recall_floor_by_probe_count(vectors):
+    """Quantified recall@3 floor as n_probe shrinks (regression net for
+    the pruned scale path — the emb_ann_pruned driver gate pins the
+    exact case; this pins graceful degradation): recall is monotone
+    non-decreasing in n_probe, ≥ 0.9 at 2 probes, and 1.0 at 4 on the
+    4-cluster fixture."""
+    qs = vectors.filter("vid < 40").select(
+        F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
+    cs = vectors.select(F.col("vid").alias("cid"), F.col("vec").alias("c_vec"))
+    exact = _topk_sets(cosine_topk(qs, cs, DIM, k=3))
+
+    def recall(n_probe: int) -> float:
+        approx = _topk_sets(ivf_topk(qs, cs, DIM, k=3, n_clusters=8,
+                                     n_probe=n_probe, sample_rows=400))
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r2 >= 0.9, f"recall@3 with 2 probes degraded to {r2}"
+    assert r4 == 1.0, f"recall@3 with 4 probes must be exact, got {r4}"
+    assert r1 >= 0.5, f"single-probe recall floor broken: {r1}"
