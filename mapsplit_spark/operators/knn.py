@@ -68,6 +68,21 @@ def _tiled_points(points: DataFrame, zoom: int) -> DataFrame:
     ).select(F.col("element_id").alias("point_id"), "p_lon", "p_lat", "tile_x", "tile_y")
 
 
+def _coarsen_tiles(pt_base: DataFrame, d: int) -> DataFrame:
+    """Zoom z−d tiles derived from the base assignment by BIT-SHIFT
+    (quadtree nesting: floor(v·2^(z−d)) == floor(v·2^z) >> d, clamping
+    included) — escalation levels never re-scan or re-project the points
+    table; the only new expression is the shift itself (pinned by
+    tests/test_plans_r3.py)."""
+    if d == 0:
+        return pt_base
+    return pt_base.select(
+        "point_id", "p_lon", "p_lat",
+        F.shiftright("tile_x", d).alias("tile_x"),
+        F.shiftright("tile_y", d).alias("tile_y"),
+    )
+
+
 def _query_tiles(queries: DataFrame, zoom: int) -> DataFrame:
     return assign_tiles(
         queries, "query_id", "q_lon", "q_lat", zoom,
@@ -193,12 +208,7 @@ def knn_tiled(queries: DataFrame, points: DataFrame, zoom: int, ring: int = 1,
     pt_base = _tiled_points(points, zoom)
     z = zoom
     while z >= min_zoom:
-        d = zoom - z
-        pt_z = pt_base if d == 0 else pt_base.select(
-            "point_id", "p_lon", "p_lat",
-            F.shiftright("tile_x", d).alias("tile_x"),
-            F.shiftright("tile_y", d).alias("tile_y"),
-        )
+        pt_z = _coarsen_tiles(pt_base, zoom - z)
         qt = _query_tiles(pending, z)
         cands = _ring_candidates(qt, pt_z, z, ring)
         ranked = _ranked(cands.dropDuplicates(["query_id", "point_id"]), k)

@@ -132,6 +132,43 @@ def export_mbtiles(spark, manifests: DataFrame, path: str, zoom: int,
                   latest_date_ms, "tile manifests from mapsplit_spark")
 
 
+def export_mbtiles_sharded(manifests: DataFrame, out_dir: str, zoom: int,
+                           n_shards: int = 8, latest_date_ms: int = 0) -> None:
+    """Scale-path packaging: one MBTiles file PER REGION SHARD, written
+    executor-side via ``foreachPartition`` — no driver collect, so the
+    packaging step has no single-writer bottleneck at 100 TB (each
+    shard's SQLite is bounded; shard count scales with the tile set).
+
+    Sharding is a deterministic hash of the tile key, repartitioned so
+    one shard never splits across partitions; the union of the shard
+    files' ``tiles`` tables equals the single-file ``export_mbtiles``
+    relation exactly (asserted in tests/test_mbtiles.py).  Each shard
+    carries full metadata with its OWN tile-subset bounds.  On a real
+    cluster ``out_dir`` is a shared mount / object-store fuse path;
+    locally it is a directory of ``shard-NNNNN.mbtiles`` files.
+    """
+    rows = mbtiles_tile_rows(manifests, zoom).withColumn(
+        "shard", F.pmod(F.xxhash64("tile_column", "tile_row"), F.lit(n_shards))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    fmt, date_ms = FORMAT, latest_date_ms  # close over plain values only
+
+    def write_partition(it) -> None:
+        by_shard: dict[int, list] = {}
+        for r in it:
+            by_shard.setdefault(int(r.shard), []).append(
+                (r.zoom_level, r.tile_column, r.tile_row, r.tile_data.encode())
+            )
+        for shard, tiles in by_shard.items():
+            _write_sqlite(
+                os.path.join(out_dir, f"shard-{shard:05d}.mbtiles"),
+                sorted(tiles), fmt, {t[0] for t in tiles}, zoom, date_ms,
+                f"tile manifests from mapsplit_spark (shard {shard})",
+            )
+
+    rows.repartition(n_shards, "shard").foreachPartition(write_partition)
+
+
 def export_raster_mbtiles(spark, mosaics: DataFrame, path: str, zoom: int,
                           latest_date_ms: int = 0) -> None:
     """Raster path: per-tile mosaic image blobs (operators/multimodal.

@@ -90,3 +90,44 @@ def test_metadata_parity_rows(spark, pairs, tmp_path):
     export_mbtiles(spark, man, path2, ZOOM, latest_date_ms=1544288785000)
     meta2 = dict(sqlite3.connect(path2).execute("SELECT name, value FROM metadata").fetchall())
     assert meta == {**meta2}
+
+
+def test_sharded_export_union_equals_single_file(spark, pairs, tmp_path):
+    """export_mbtiles_sharded (foreachPartition, no driver collect):
+    the union of the shard files' tiles tables equals the single-file
+    export exactly; every shard carries full metadata with its own
+    tile-subset bounds."""
+    import glob
+    import os
+
+    from mapsplit_spark.sinks.mbtiles import export_mbtiles_sharded
+
+    _, p = pairs
+    man = tile_manifests(p, ZOOM, assume_distinct=True)
+
+    single = str(tmp_path / "single.mbtiles")
+    export_mbtiles(spark, man, single, ZOOM, latest_date_ms=123)
+    conn = sqlite3.connect(single)
+    expect = set(conn.execute("SELECT * FROM tiles").fetchall())
+    conn.close()
+
+    out_dir = str(tmp_path / "shards")
+    export_mbtiles_sharded(man, out_dir, ZOOM, n_shards=4, latest_date_ms=123)
+    files = sorted(glob.glob(os.path.join(out_dir, "shard-*.mbtiles")))
+    assert len(files) > 1, "fixture must actually spread across shards"
+    got = set()
+    for f in files:
+        c = sqlite3.connect(f)
+        rows = c.execute("SELECT * FROM tiles").fetchall()
+        assert rows, f"empty shard file written: {f}"
+        assert not (got & set(rows)), "tile present in two shards"
+        got |= set(rows)
+        meta = dict(c.execute("SELECT name, value FROM metadata").fetchall())
+        assert meta["latest_date"] == "123"
+        assert meta["format"] == "application/json"
+        # per-shard bounds cover exactly this shard's tiles (never wider
+        # than the world, never missing a tile corner)
+        left, bottom, right, top = map(float, meta["bounds"].split(","))
+        assert -180.0 <= left < right <= 180.0
+        c.close()
+    assert got == expect
