@@ -358,8 +358,8 @@ def q_complete_rel_mp(spark, sf_dir):
     multipolygon iff o_custkey is even.  Odd-custkey collections still
     resolve their own tiles (J3) but their members inherit NOTHING —
     the restriction is what the value hash pins.  Hole fill is disabled
-    (min_tiles=2^60) to keep the oracle SQL-expressible; fill semantics
-    have their own gate (session_holefill)."""
+    (holefill_min=None) to keep the oracle SQL-expressible; fill
+    semantics have their own gate (session_holefill)."""
     from mapsplit_spark.operators.sessions import session_assignments
 
     li = _t(spark, sf_dir, "lineitem")
@@ -387,7 +387,7 @@ def q_complete_rel_mp(spark, sf_dir):
     )
     return session_assignments(
         _event_pairs(spark, sf_dir), ways.unionByName(cols),
-        complete=True, multipolygon_only=True, holefill_min=1 << 60,
+        complete=True, multipolygon_only=True, holefill_min=None,
     )
 
 
@@ -470,7 +470,12 @@ def q_session_holefill(spark, sf_dir):
     rows = [(gid, x, y) for gid, tiles in RING_GROUPS.items() for x, y in tiles]
     rings = spark.createDataFrame(rows, "group_id long, tile_x long, tile_y long")
     wt = q_session_tiles(spark, sf_dir).withColumnRenamed("way_id", "group_id")
-    return fill_holes(wt.unionByName(rings)).withColumnRenamed("group_id", "way_id")
+    # ring ids are disjoint from session ids, so the two fills compose by
+    # union — keeping the big session path's plan identical to the
+    # fixture-free formulation (unioning BEFORE the fill inflated the
+    # shuffle partitioning of all three src consumers, measured +60%)
+    out = fill_holes(wt).unionByName(fill_holes(rings))
+    return out.withColumnRenamed("group_id", "way_id")
 
 
 def q_doc_token_stats(spark, sf_dir):

@@ -43,10 +43,12 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "tile_merge",           # distributed superblock merge walk
         "relation_tiles",       # J3/J4 fixed point, 3-level nesting
         "complete_rel",         # J5/J6 down-propagation
-        "session_holefill",     # compressed-grid flood fill
+        "complete_rel_mp",      # P6 multipolygon-only restriction (r3)
+        "session_holefill",     # compressed-grid flood fill (+ ring fixture)
         "mbtiles_rows",         # TMS flip + blob construction
         "lsh_near_dup",         # MinHash-LSH scale path e2e
-        "emb_ann_topk",         # IVF cells + probe + re-rank
+        "emb_ann_topk",         # IVF cells + probe + re-rank (full probe)
+        "emb_ann_pruned",       # IVF with GENUINE pruning, clustered vecs (r3)
         "doc_winnow",           # rolling-window winnowing fingerprints
         "tile_cellid",          # Morton/quadkey cell encodings
         "doc_token_stats",
@@ -187,7 +189,10 @@ def main() -> None:
         # deterministic input (same pipeline the scaling protocol uses)
         scale_n = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROWS", "20000000"))
         t_scale = float("inf")
-        for _ in range(2):  # best of 2 — single runs wobble ±40% with VM noise
+        # best of 3: fresh-process forensics (BASELINE.md round 3) put
+        # this VM's same-code spread at ±27% — two samples let one slow
+        # window set the recorded number (the r2 "-11% drift")
+        for _ in range(3):
             t0 = time.perf_counter()
             _scaling_pipeline(spark, scale_n).count()
             t_scale = min(t_scale, time.perf_counter() - t0)

@@ -50,11 +50,16 @@ def session_edges(sessions: DataFrame, kind: str) -> DataFrame:
 def session_assignments(node_tiles: DataFrame, sessions: DataFrame,
                         complete: bool = False,
                         multipolygon_only: bool = False,
-                        holefill_min: int = 8) -> DataFrame:
+                        holefill_min: int | None = 8) -> DataFrame:
     """node_tiles: exploded (element_id, tile_x, tile_y) point assignment.
     → augmented distinct (element_id, tile_x, tile_y) covering points,
     sessions, and collections — the relation the store stage (J7)
     materializes.
+
+    ``holefill_min=None`` disables hole patching ENTIRELY (skips the
+    count gate + Python stage + dedup shuffle, not just raises the
+    trigger) — for callers that run the fill as a separate stage or
+    want raw reference-free propagation.
     """
     way_edges = session_edges(sessions, "session")
     col_edges = session_edges(sessions, "collection")
@@ -64,7 +69,9 @@ def session_assignments(node_tiles: DataFrame, sessions: DataFrame,
     # materialized once (Spark reuses no identical subtrees across
     # branches; the checkpointed pipeline materializes stages instead)
     wt = way_tiles(way_edges, node_tiles, "group_id", "member_id")
-    wt = fill_holes(wt, "group_id", min_tiles=holefill_min).localCheckpoint(eager=True)
+    if holefill_min is not None:
+        wt = fill_holes(wt, "group_id", min_tiles=holefill_min)
+    wt = wt.localCheckpoint(eager=True)
     way_rel = wt.select(F.col("group_id").alias("element_id"), "tile_x", "tile_y")
 
     # J2: member nodes inherit the (hole-patched) way tile set
