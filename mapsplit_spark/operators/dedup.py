@@ -109,7 +109,8 @@ def _banded(signatures: DataFrame, bands: int, id_col: str) -> DataFrame:
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
                         id_col: str = "doc_id",
                         max_bucket: int | None = 1024,
-                        observation=None) -> DataFrame:
+                        observation=None,
+                        materialize_banded: bool = True) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band hash are
     candidates.  → distinct (id_a, id_b) with id_a < id_b.
 
@@ -133,8 +134,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     to measure this in-flight: after the first action it reports
     ``n_hot_buckets`` / ``max_bucket_size`` / ``n_star_docs`` at zero
     extra cost (piggybacks the existing bucket-stats aggregate); alert on
-    ``n_hot_buckets > 0``.  The full histogram is ``bucket_sizes()``."""
+    ``n_hot_buckets > 0``.  The full histogram is ``bucket_sizes()``.
+
+    The banded relation feeds 2-3 consumers (bucket stats, both join
+    sides) and carries the full minhash computation — recomputing it per
+    consumer costs ~40% end-to-end (measured sf0.1), so it is
+    materialized once by default (``materialize_banded``)."""
     banded = _banded(signatures, bands, id_col)
+    if materialize_banded:
+        banded = banded.localCheckpoint(eager=True)
     if max_bucket is None:
         small, star = banded, None
     else:
