@@ -93,24 +93,23 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray,
     return df.withColumn(out_col, cell(F.col(vec_col)))
 
 
-def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
-             n_clusters: int = 16, n_probe: int = 4, sample_rows: int = 2000,
-             id_q: str = "qid", id_c: str = "cid",
-             vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:
-    """IVF approximate top-k: corpus partitioned into k-means cells; each
-    query probes its ``n_probe`` nearest cells and re-ranks exactly inside
-    them.  At 100 TB the corpus is written bucketed by ivf_cell, making
-    the probe join partition-pruned; the centroid model is a tiny
-    driver-side artifact (trained once on a sample, broadcast)."""
-    # deterministic sample: ordered by id (a bare LIMIT's row order is
-    # partition-order-dependent and would make the centroid model — and
-    # thus the probe sets — run-dependent)
+def train_ivf_centroids(corpus: DataFrame, n_clusters: int = 16,
+                        sample_rows: int = 2000, id_c: str = "cid",
+                        vec_c: str = "c_vec") -> np.ndarray:
+    """Deterministic IVF centroid model from an id-ORDERED sample (a bare
+    LIMIT's row order is partition-order-dependent and would make the
+    model — and thus the probe sets — run-dependent).  A tiny driver-side
+    artifact, broadcast into the assign/probe UDF closures."""
     sample = np.stack([
         np.asarray(r[vec_c], dtype=np.float64)
         for r in corpus.select(id_c, vec_c).orderBy(id_c).limit(sample_rows).collect()
     ])
-    centroids = _kmeans_centroids(sample, n_clusters)
-    c = centroids
+    return _kmeans_centroids(sample, n_clusters)
+
+
+def _probe_cells_udf(centroids: np.ndarray, n_probe: int):
+    """pandas_udf: each vector → its ``n_probe`` nearest centroid ids."""
+    c = centroids.astype(np.float64)
     c_norm2 = (c ** 2).sum(1)
 
     @F.pandas_udf(ArrayType(IntegerType()))
@@ -120,8 +119,13 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
         order = d.argsort(1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
-    cb = ivf_assign(corpus, vec_c, centroids)
-    qb = queries.withColumn("ivf_cell", F.explode(probe_cells(F.col(vec_q))))
+    return probe_cells
+
+
+def _probe_rerank(qb: DataFrame, cb: DataFrame, dim: int, k: int,
+                  id_q: str, id_c: str, vec_q: str, vec_c: str) -> DataFrame:
+    """Probe-cell equi-join + exact cosine re-rank; multi-probe
+    duplicates dropped before ranking."""
     joined = F.broadcast(qb).join(cb, "ivf_cell").filter(F.col(id_q) != F.col(id_c))
     cos = F.expr(
         f"{sqlgen.dot_sql(vec_q, vec_c, dim, one_based=False)} / "
@@ -135,6 +139,58 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
         .filter(F.col("rank") <= k)
         .select(id_q, "rank", id_c, "cos_sim")
     )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
+             n_clusters: int = 16, n_probe: int = 4, sample_rows: int = 2000,
+             id_q: str = "qid", id_c: str = "cid",
+             vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into k-means cells; each
+    query probes its ``n_probe`` nearest cells and re-ranks exactly inside
+    them.  At 100 TB the corpus is written bucketed by ivf_cell
+    (``write_ivf_corpus`` + ``ivf_topk_bucketed`` — planning-time
+    directory pruning); the centroid model is a tiny driver-side
+    artifact (trained once on a sample, broadcast)."""
+    centroids = train_ivf_centroids(corpus, n_clusters, sample_rows, id_c, vec_c)
+    cb = ivf_assign(corpus, vec_c, centroids)
+    qb = queries.withColumn(
+        "ivf_cell", F.explode(_probe_cells_udf(centroids, n_probe)(F.col(vec_q)))
+    )
+    return _probe_rerank(qb, cb, dim, k, id_q, id_c, vec_q, vec_c)
+
+
+def write_ivf_corpus(corpus: DataFrame, centroids: np.ndarray, out_path: str,
+                     vec_c: str = "c_vec") -> None:
+    """Materialize the corpus partitioned by IVF cell — the 100 TB ANN
+    layout (write_tiles' analog for vector search): a probe query reads
+    only its n_probe cell directories; every other cell is pruned at
+    planning time.  Iceberg hidden partitioning replaces the explicit
+    partitionBy on a real cluster."""
+    (
+        ivf_assign(corpus, vec_c, centroids)
+        .repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(out_path)
+    )
+
+
+def ivf_topk_bucketed(queries: DataFrame, corpus_path: str,
+                      centroids: np.ndarray, dim: int, k: int = 3,
+                      n_probe: int = 4, id_q: str = "qid", id_c: str = "cid",
+                      vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:
+    """ANN over the cell-partitioned layout: the query side's probe-cell
+    set (small by definition) collects into a literal IN filter on the
+    PARTITION column, pruning every other cell directory at planning
+    time (asserted in tests/test_sink_pruning.py), then the same probe
+    join + exact re-rank as ``ivf_topk`` runs over the survivors."""
+    spark = queries.sparkSession
+    qb = queries.withColumn(
+        "ivf_cell", F.explode(_probe_cells_udf(centroids, n_probe)(F.col(vec_q)))
+    )
+    cells = sorted({r.ivf_cell for r in qb.select("ivf_cell").distinct().collect()})
+    cb = spark.read.parquet(corpus_path).filter(F.col("ivf_cell").isin(cells))
+    return _probe_rerank(qb, cb, dim, k, id_q, id_c, vec_q, vec_c)
 
 
 def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,

@@ -43,3 +43,44 @@ def test_null_coordinates_dropped(spark):
     )
     out = assign_and_expand(df, "id", "lon", "lat", 13, 0.1)
     assert {r.element_id for r in out.collect()} == {"a"}
+
+
+def test_ivf_corpus_layout_prunes_cells_and_matches_in_memory(spark):
+    """write_ivf_corpus + ivf_topk_bucketed (the 100 TB ANN read path):
+    the probe-cell IN filter prunes cell directories at PLANNING time,
+    and the result equals the in-memory ivf_topk with the same centroid
+    model and probe count."""
+    import numpy as np
+
+    from mapsplit_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_bucketed,
+        train_ivf_centroids,
+        write_ivf_corpus,
+    )
+
+    dim = 16
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, dim)) * 10
+    rows = [(i, [float(x) for x in centers[i % 4] + rng.standard_normal(dim)])
+            for i in range(400)]
+    vecs = spark.createDataFrame(rows, "vid long, vec array<float>")
+    corpus = vecs.select(F.col("vid").alias("cid"), F.col("vec").alias("c_vec"))
+    queries = vecs.filter("vid < 8").select(
+        F.col("vid").alias("qid"), F.col("vec").alias("q_vec"))
+
+    centroids = train_ivf_centroids(corpus, n_clusters=8, sample_rows=400)
+    out = "/tmp/prune_test_ivf"
+    shutil.rmtree(out, ignore_errors=True)
+    write_ivf_corpus(corpus, centroids, out)
+
+    bucketed = ivf_topk_bucketed(queries, out, centroids, dim, k=3, n_probe=2)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and \
+        "ivf_cell" in plan.split("PartitionFilters")[1][:120], \
+        "probe-cell filter did not reach the partition level"
+
+    expect = {tuple(r) for r in
+              ivf_topk(queries, corpus, dim, k=3, n_clusters=8, n_probe=2,
+                       sample_rows=400).collect()}
+    assert {tuple(r) for r in bucketed.collect()} == expect
