@@ -416,6 +416,30 @@ def q_lsh_near_dup(spark, sf_dir):
     )
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """pHash Hamming near-dup — the image-corpus dedup path over the
+    input_hint ``phash:int64`` column shape: pigeonhole multi-index band
+    join (4×15-bit bands; radius 3 ≤ bands−1 makes recall EXACT, not
+    probabilistic) + one XOR/popcount verify per colliding pair.
+    Hashes derive deterministically from doc_id with planted bit-flips
+    straddling the radius boundary (distances 1,1,2,3,3 in, 4 out —
+    sqlgen.derived_phash_band_sql).  The oracle is an INDEPENDENT
+    brute-force all-pairs arithmetic-popcount formulation, so the
+    operator's shiftright/mask banding, the bigint packing, and
+    bit_count(xor) are gated against FLOOR/mod bit arithmetic — the
+    tile_cellid two-formulations pattern."""
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    bands = [sqlgen.derived_phash_band_sql("doc_id", k) for k in range(4)]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(sqlgen.phash_from_bands_sql(bands)).alias("phash"),
+    )
+    return hamming_near_dups(
+        docs, id_col="doc_id", hash_col="phash", radius=3, n_bands=4, bits=60
+    )
+
+
 def q_tile_cellid(spark, sf_dir):
     """Cell encodings (H3/S2-analog quadtree ids): per distinct tile,
     the Morton Z-order index via the ENGINE's shift/mask column kernel
@@ -650,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_rel_mp": q_complete_rel_mp,
         "mbtiles_rows": q_mbtiles_rows,
         "lsh_near_dup": q_lsh_near_dup,
+        "phash_near_dup": q_phash_near_dup,
         "tile_cellid": q_tile_cellid,
         "session_holefill": q_session_holefill,
         "knn": q_knn,
@@ -1119,6 +1144,22 @@ s AS (
 ),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rnk FROM s)
 SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 3
+"""
+    # pHash near-dup: independent brute-force oracle — all-pairs join +
+    # arithmetic per-band popcount (no banding, no packing, no bit ops),
+    # vs the engine's shiftright/mask band join + bit_count(xor)
+    pb = [sqlgen.derived_phash_band_sql("doc_id", k) for k in range(4)]
+    ham = " + ".join(sqlgen.hamming_bits_sql(f"a.b{k}", f"b.b{k}", 15) for k in range(4))
+    oracles["phash_near_dup"] = f"""
+WITH h AS (
+  SELECT doc_id, {pb[0]} AS b0, {pb[1]} AS b1, {pb[2]} AS b2, {pb[3]} AS b3
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({ham}) AS hamming
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
 """
     # the tile-ring kNN provably covers the exact top-k at z4/ring2 for
     # this density, so its oracle is the exact-kNN SQL itself; likewise

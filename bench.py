@@ -47,6 +47,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "session_holefill",     # compressed-grid flood fill (+ ring fixture)
         "mbtiles_rows",         # TMS flip + blob construction
         "lsh_near_dup",         # MinHash-LSH scale path e2e
+        "phash_near_dup",       # pHash pigeonhole band join (r3)
         "emb_ann_topk",         # IVF cells + probe + re-rank (full probe)
         "emb_ann_pruned",       # IVF with GENUINE pruning, clustered vecs (r3)
         "doc_winnow",           # rolling-window winnowing fingerprints

@@ -143,10 +143,23 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     banded = _banded(signatures, bands, id_col)
     if materialize_banded:
         banded = banded.localCheckpoint(eager=True)
+    return _capped_bucket_pairs(
+        banded, id_col, ["band", "bhash"], max_bucket, observation
+    )
+
+
+def _capped_bucket_pairs(banded: DataFrame, id_col: str, bucket_cols: list,
+                         max_bucket: int | None,
+                         observation=None) -> DataFrame:
+    """Shared bucket-join candidate generation: self-join ``banded`` on
+    ``bucket_cols`` with the hot-bucket star-edge cap (aggregate +
+    semi-join, all JVM — see ``lsh_candidate_pairs`` for the recall
+    caveat).  → distinct (id_a, id_b), id_a < id_b.  Used by both the
+    MinHash-LSH and the Hamming/pHash band joins."""
     if max_bucket is None:
         small, star = banded, None
     else:
-        stats = banded.groupBy("band", "bhash").agg(
+        stats = banded.groupBy(*bucket_cols).agg(
             F.count("*").alias("bsize"), F.min(id_col).alias("hub")
         )
         if observation is not None:
@@ -158,13 +171,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
                 F.sum(F.when(hot, F.col("bsize")).otherwise(0)).alias("n_star_docs"),
             )
         small = banded.join(
-            stats.filter(F.col("bsize") <= max_bucket).select("band", "bhash"),
-            ["band", "bhash"], "left_semi",
+            stats.filter(F.col("bsize") <= max_bucket).select(*bucket_cols),
+            bucket_cols, "left_semi",
         )
         star = (
             banded.join(
-                stats.filter(F.col("bsize") > max_bucket).select("band", "bhash", "hub"),
-                ["band", "bhash"],
+                stats.filter(F.col("bsize") > max_bucket).select(*bucket_cols, "hub"),
+                bucket_cols,
             )
             .filter(F.col(id_col) != F.col("hub"))
             .select(
@@ -175,7 +188,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     left = small.alias("l")
     right = small.alias("r")
     pairs = (
-        left.join(right, ["band", "bhash"])
+        left.join(right, bucket_cols)
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
@@ -238,6 +251,83 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     sigs = minhash_signatures(shingled, num_hashes, id_col)
     cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket, observation)
     return jaccard_verify(cands, shingled, threshold, id_col)
+
+
+def hamming_banded(df: DataFrame, id_col: str, hash_col: str,
+                   n_bands: int, bits: int) -> DataFrame:
+    """Decompose an integer hash column into ``n_bands`` contiguous bit
+    bands → (id, band, bval) rows.  shiftrightunsigned + mask, so signed
+    64-bit hashes (e.g. real pHash stored as int64) band correctly."""
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftrightunsigned(F.col(hash_col), k * w)
+                    .bitwiseAND(F.lit(mask)).alias("bval"),
+                )
+                for k in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+
+
+def hamming_verify(pairs: DataFrame, hashed: DataFrame, radius: int,
+                   id_col: str, hash_col: str) -> DataFrame:
+    """Exact Hamming distance on candidate pairs only — one XOR +
+    bit_count per pair, all JVM.  → (id_a, id_b, hamming ≤ radius)."""
+    a = hashed.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))
+    b = hashed.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def hamming_near_dups(df: DataFrame, id_col: str = "image_id",
+                      hash_col: str = "phash", radius: int = 3,
+                      n_bands: int = 4, bits: int = 64,
+                      max_bucket: int | None = 1024,
+                      observation=None) -> DataFrame:
+    """pHash-style near-dup detection over an integer hash column (the
+    input_hint images table carries ``phash:int64``) via the pigeonhole
+    multi-index: split the hash into ``n_bands`` bands; any pair within
+    Hamming distance ``radius ≤ n_bands − 1`` must agree EXACTLY on at
+    least one band (≤ radius differing bits can touch at most radius
+    bands), so an equi-join on (band, band value) finds every such pair
+    — this is the exact-recall analog of MinHash banding, and the
+    standard way image corpora dedup pHash at scale.
+
+    Scale shape: candidate generation is an equi-join on (band, bval) —
+    no cross join; verification is one XOR+popcount per colliding pair.
+    EXACT duplicates collide in every band, so corpora with heavy exact
+    duplication should run ``exact_dup_groups`` first (or rely on
+    ``max_bucket``: same star-edge degradation + Observation reporting
+    as ``lsh_candidate_pairs`` — connectivity preserved, all-pairs
+    recall within a >cap bucket is not guaranteed).
+
+    → (id_a, id_b, hamming) with id_a < id_b and hamming ≤ radius.
+    Raises if ``radius > n_bands − 1`` (the pigeonhole guarantee would
+    not hold; raise n_bands instead — recall stays exact while buckets
+    shrink 2^(bits/n_bands)-fold per added band)."""
+    if radius > n_bands - 1:
+        raise ValueError(
+            f"radius={radius} needs n_bands ≥ {radius + 1} for exact recall "
+            f"(got {n_bands})"
+        )
+    hashed = df.select(id_col, hash_col)
+    banded = hamming_banded(hashed, id_col, hash_col, n_bands, bits)
+    pairs = _capped_bucket_pairs(
+        banded, id_col, ["band", "bval"], max_bucket, observation
+    )
+    return hamming_verify(pairs, hashed, radius, id_col, hash_col)
 
 
 def simhash_text(docs: DataFrame, id_col: str = "doc_id",

@@ -237,6 +237,59 @@ def clustered_vec_elem_sql(key: str, i: int, n_clusters: int) -> str:
     return noise
 
 
+def derived_phash_band_sql(key: str, k: int) -> str:
+    """15-bit band ``k`` (k = 0..3) of a deterministic 60-bit perceptual
+    hash derived from an integer key, with PLANTED near-duplicates: keys
+    share a base hash per group ``g = key div 5`` and the member index
+    ``m = key % 5`` flips 0-3 specific bits (m=4 gets an unrelated
+    hash).  Pairwise Hamming distances within a group: (0,1)=1, (1,2)=1,
+    (0,2)=2, (0,3)=3, (2,3)=3 — all ≤ 3 — and (1,3)=4, just over the
+    radius, so a radius-3 gate exercises both sides of the boundary.
+    Integer arithmetic + POWER(2, b) with operands < 2^15 (double-safe);
+    identical text in both engines.  Key domain |key| < 2^51 (the one
+    FLOOR-division goes through a double)."""
+    g = f"CAST(FLOOR(({key}) / 5.0) AS BIGINT)"
+    m = f"(({key}) % 5)"
+    base = f"(({g} * {(4733, 6089, 7451, 9103)[k]} + {(101, 203, 307, 401)[k]}) % 32768)"
+    alt = f"(({g} * 5419 + ({key}) * 8287 + {k * k * 977 + 3}) % 32768)"
+    cond, bit = {
+        0: (f"{m} IN (1, 2)", f"({g} % 15)"),
+        1: (f"{m} IN (2, 3)", f"(({g} * 3 + 7) % 15)"),
+        2: (f"{m} = 3", f"(({g} * 5 + 11) % 15)"),
+        3: (f"{m} = 3", f"(({g} * 7 + 2) % 15)"),
+    }[k]
+    p = f"POWER(2.0, {bit})"
+    bitv = f"(CAST(FLOOR({base} / {p}) AS BIGINT) % 2)"
+    flipped = f"({base} + (1 - 2 * {bitv}) * CAST({p} AS BIGINT))"
+    return f"(CASE WHEN {m} = 4 THEN {alt} WHEN {cond} THEN {flipped} ELSE {base} END)"
+
+
+def phash_from_bands_sql(bands: list[str], band_bits: int = 15) -> str:
+    """Pack band values (each < 2^band_bits) into one BIGINT:
+    Σ band_k · 2^(band_bits·k).  Pure integer multiply-add — exact in
+    both engines (the operator's shiftright/mask decomposition is the
+    INDEPENDENT formulation gated against this packing)."""
+    return "(" + " + ".join(
+        f"({b}) * {1 << (band_bits * i)}" for i, b in enumerate(bands)
+    ) + ")"
+
+
+def hamming_bits_sql(a: str, b: str, bits: int) -> str:
+    """Hamming distance of two non-negative < 2^bits integers as pure
+    arithmetic (Σ |bit_t(a) − bit_t(b)|, bit_t via FLOOR/mod — the same
+    dialect-portable style as morton_sql).  Keep bits ≤ 15 per call so
+    the FLOOR divisions stay well inside double precision; wider hashes
+    sum this per band."""
+    terms = []
+    for t in range(bits):
+        p = float(2 ** t)
+        terms.append(
+            f"ABS((CAST(FLOOR(({a}) / {p!r}) AS BIGINT) % 2) - "
+            f"(CAST(FLOOR(({b}) / {p!r}) AS BIGINT) % 2))"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def derived_lon_sql(key: str) -> str:
     return f"(CAST((({key}) * 9973) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
 

@@ -136,3 +136,132 @@ def test_hot_bucket_observation_reports_cap_hits(spark):
                              observation=obs2)
     out2.count()
     assert obs2.get["n_hot_buckets"] == 0
+
+
+# ---------------------------------------------------------------- pHash
+
+def _popcount_xor(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_hamming_near_dups_exact_vs_bruteforce(spark):
+    """Pigeonhole band join is EXACT for radius ≤ n_bands−1: every pair
+    the brute-force popcount finds, on signed 64-bit hashes (real pHash
+    int64 range), with planted near pairs among random decoys."""
+    import numpy as np
+
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(-(2 ** 63), 2 ** 63, 120, dtype=np.int64)
+    # plant near pairs: copies of earlier hashes with 1-3 bits flipped
+    for i, (src, nbits) in enumerate([(0, 1), (1, 2), (2, 3), (3, 3), (4, 4)]):
+        v = int(hashes[src])
+        for b in rng.choice(64, nbits, replace=False):
+            v ^= 1 << int(b)
+        m = v & ((1 << 64) - 1)
+        hashes[100 + i] = m - (1 << 64) if m >= (1 << 63) else m
+    rows = [(int(i), int(h)) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dups(df, radius=3, n_bands=4, bits=64).collect()
+    }
+    exp = set()
+    uh = [int(h) & ((1 << 64) - 1) for h in hashes]
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = _popcount_xor(uh[i], uh[j])
+            if d <= 3:
+                exp.add((i, j, d))
+    assert got == exp
+    assert len(exp) >= 4  # the planted 1/2/3/3-bit pairs are in
+
+
+def test_hamming_radius_guard():
+    import pyspark.sql  # noqa: F401 — session fixture not needed: guard raises pre-plan
+
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    with pytest.raises(ValueError, match="n_bands"):
+        hamming_near_dups(None, radius=4, n_bands=4)
+
+
+def test_hamming_cap_star_edges_keep_cluster_connected(spark):
+    """Exact-dup flood (every band identical) under a small max_bucket
+    degrades to star edges but keeps the dup cluster connected."""
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    df = spark.createDataFrame(
+        [(i, 0x1234_5678_9ABC_DEF0) for i in range(40)]
+        + [(100, -42), (101, -42)],
+        "image_id long, phash long",
+    )
+    pairs = hamming_near_dups(df, radius=3, n_bands=4, bits=64, max_bucket=8)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    # star through hub 0: the 40-clone cluster stays one component
+    assert {(0, i) for i in range(1, 40)} <= set(edges)
+    assert (100, 101) in set(edges)
+
+
+def test_hamming_plan_no_cartesian(spark):
+    """Candidate generation is an equi-join on (band, bval) — no cross
+    join, no Python, cap as semi-join (same shape as the LSH path)."""
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    df = spark.range(50).selectExpr("id AS image_id", "id * 7919 AS phash")
+    plan = hamming_near_dups(df, radius=3, n_bands=4, bits=64, max_bucket=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_phash_on_real_image_fixture(spark, images_dir):
+    """End-to-end over the images table shape: decode → phash64 → plant
+    a near-identical image (few pixels perturbed) → the operator finds
+    the planted pair and no self-pairs."""
+    import numpy as np
+
+    from mapsplit_spark import imaging
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    imgs = spark.read.parquet(f"{images_dir}/images.parquet").limit(50).collect()
+    rows = []
+    for r in imgs:
+        px = imaging.decode_image(bytes(r.bytes))
+        rows.append((r.image_id, imaging.phash64(px)))
+    # perturb image 0 by a small luminance nudge in one corner block
+    px0 = imaging.decode_image(bytes(imgs[0].bytes)).copy()
+    px0[:2, :2] = np.clip(px0[:2, :2].astype(np.int16) + 4, 0, 255).astype(np.uint8)
+    rows.append(("planted_dup", imaging.phash64(px0)))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r.id_a, r.id_b) for r in
+           hamming_near_dups(df, radius=3, n_bands=4, bits=64).collect()}
+    assert (imgs[0].image_id, "planted_dup") in got or \
+           ("planted_dup", imgs[0].image_id) in got
+
+
+def test_derived_phash_parity_spark_duckdb(spark):
+    """The shared sqlgen derivation evaluates IDENTICALLY in Spark and
+    DuckDB (the gate precondition), packs into [0, 2^60), and the
+    planted group-0 distances straddle the radius-3 boundary exactly as
+    documented: (0,1)=1,(1,2)=1,(0,2)=2,(0,3)=3,(2,3)=3 in, (1,3)=4 out."""
+    import duckdb
+
+    from mapsplit_spark import sqlgen
+
+    bands = [sqlgen.derived_phash_band_sql("id", k) for k in range(4)]
+    packed = sqlgen.phash_from_bands_sql(bands)
+    srows = spark.range(60).selectExpr("id", f"{packed} AS ph").collect()
+    drows = duckdb.sql(f"SELECT id, {packed} AS ph FROM range(60) t(id)").fetchall()
+    assert sorted((r.id, r.ph) for r in srows) == sorted(drows)
+    vals = {r.id: r.ph for r in srows}
+    assert all(0 <= v < 2 ** 60 for v in vals.values())
+
+    def d(a, b):
+        return bin(vals[a] ^ vals[b]).count("1")
+
+    assert [d(0, 1), d(1, 2), d(0, 2), d(0, 3), d(2, 3), d(1, 3)] == [1, 1, 2, 3, 3, 4]
