@@ -440,6 +440,38 @@ def q_phash_near_dup(spark, sf_dir):
     )
 
 
+def q_dup_components(spark, sf_dir):
+    """Near-dup GROUP resolution: the pHash pair relation (exact
+    pigeonhole band join above) closed under transitivity by the
+    distributed min-label/pointer-jumping connected-components operator
+    — the step that turns pairs into 'keep one representative per dup
+    cluster' semantics.  Oracle: DuckDB WITH RECURSIVE reachability over
+    the independent brute-force pair derivation, so the iterative Spark
+    fixpoint is checked against a declarative transitive closure."""
+    from mapsplit_spark.operators.components import connected_components
+
+    comp = connected_components(q_phash_near_dup(spark, sf_dir))
+    return comp.select(F.col("v").alias("doc_id"), "component")
+
+
+def q_doc_dedup_keep(spark, sf_dir):
+    """Corpus reduction after group resolution: drop every non-
+    representative member (component min survives, untouched docs
+    survive) — |kept| = |docs| − Σ(|group|−1)."""
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+    from mapsplit_spark.operators.components import dedup_keep
+
+    bands = [sqlgen.derived_phash_band_sql("doc_id", k) for k in range(4)]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(sqlgen.phash_from_bands_sql(bands)).alias("phash"),
+    )
+    pairs = hamming_near_dups(
+        docs, id_col="doc_id", hash_col="phash", radius=3, n_bands=4, bits=60
+    )
+    return dedup_keep(docs, pairs).select("doc_id")
+
+
 def q_tile_cellid(spark, sf_dir):
     """Cell encodings (H3/S2-analog quadtree ids): per distinct tile,
     the Morton Z-order index via the ENGINE's shift/mask column kernel
@@ -675,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbtiles_rows": q_mbtiles_rows,
         "lsh_near_dup": q_lsh_near_dup,
         "phash_near_dup": q_phash_near_dup,
+        "dup_components": q_dup_components,
+        "doc_dedup_keep": q_doc_dedup_keep,
         "tile_cellid": q_tile_cellid,
         "session_holefill": q_session_holefill,
         "knn": q_knn,
@@ -1161,6 +1195,36 @@ p AS (
 )
 SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
 """
+    # connected components over the pHash pairs: declarative transitive
+    # closure (WITH RECURSIVE reachability) vs the engine's iterative
+    # min-label/pointer-jumping fixpoint
+    phash_pairs_ctes = f"""
+h AS (
+  SELECT doc_id, {pb[0]} AS b0, {pb[1]} AS b1, {pb[2]} AS b2, {pb[3]} AS b3
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE ({ham}) <= 3
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach(v, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.v
+),
+comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+"""
+    oracles["dup_components"] = (
+        "WITH RECURSIVE " + phash_pairs_ctes
+        + "SELECT v AS doc_id, component FROM comp"
+    )
+    oracles["doc_dedup_keep"] = (
+        "WITH RECURSIVE " + phash_pairs_ctes
+        + "SELECT doc_id FROM documents "
+        + "WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> component)"
+    )
     # the tile-ring kNN provably covers the exact top-k at z4/ring2 for
     # this density, so its oracle is the exact-kNN SQL itself; likewise
     # full-probe IVF reconstructs the exact top-3
