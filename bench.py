@@ -20,9 +20,13 @@ import sys
 import time
 
 
-def _force(df) -> int:
-    """Execute the full plan; cheap count via noop-free aggregation."""
-    return df.count()
+def _force(df) -> None:
+    """Fully materialize EVERY output column via the noop v2 sink.
+    count() alone is not a benchmark force: Catalyst prunes projections
+    a count doesn't need, so expression-heavy queries time as free (the
+    doc_winnow blind spot — "0.19 s" by count vs 560 s real pre-fix,
+    3.9 s real post-fix)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
@@ -48,6 +52,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "mbtiles_rows",         # TMS flip + blob construction
         "lsh_near_dup",         # MinHash-LSH scale path e2e
         "phash_near_dup",       # pHash pigeonhole band join (r3)
+        "dup_components",       # pointer-jumping connected components (r3)
         "emb_ann_topk",         # IVF cells + probe + re-rank (full probe)
         "emb_ann_pruned",       # IVF with GENUINE pruning, clustered vecs (r3)
         "doc_winnow",           # rolling-window winnowing fingerprints
@@ -68,9 +73,10 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         best = float("inf")
         for _ in range(2):  # best of 2 — this VM has ±2× noise windows
             t0 = time.perf_counter()
-            rows[name] = _force(qs[name](spark, sf_dir))
+            _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        rows[name] = qs[name](spark, sf_dir).count()
     return times, rows
 
 
@@ -114,11 +120,11 @@ def cluster_flagship_time(n_execs: int, cores_per: int, rows: int) -> float:
         .getOrCreate()
     )
     try:
-        _scaling_pipeline(spark, rows // 20).count()  # warm JIT/codegen
+        _force(_scaling_pipeline(spark, rows // 20))  # warm JIT/codegen
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            _scaling_pipeline(spark, rows).count()
+            _force(_scaling_pipeline(spark, rows))
             best = min(best, time.perf_counter() - t0)
         return best
     finally:
@@ -195,7 +201,7 @@ def main() -> None:
         # window set the recorded number (the r2 "-11% drift")
         for _ in range(3):
             t0 = time.perf_counter()
-            _scaling_pipeline(spark, scale_n).count()
+            _force(_scaling_pipeline(spark, scale_n))
             t_scale = min(t_scale, time.perf_counter() - t0)
 
         # BASELINE.json headline vocabulary — tile-split throughput in
@@ -215,10 +221,10 @@ def main() -> None:
         t_img = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            _tm(assign_and_expand(
+            _force(_tm(assign_and_expand(
                 imgs.select("image_id", "lon", "lat"),
                 "image_id", "lon", "lat", 13, 0.1,
-            ), 13, assume_distinct=True).count()
+            ), 13, assume_distinct=True))
             t_img = min(t_img, time.perf_counter() - t0)
     finally:
         spark.stop()

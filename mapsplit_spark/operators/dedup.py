@@ -31,10 +31,12 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _token_ngrams(text_col: str, n: int):
-    """Word n-gram shingles as an array column — built-ins only:
-    tokens → sequence(0, len-n) → transform(concat slice)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+def _token_ngrams(toks, n: int):
+    """Word n-gram shingles from a token-array COLUMN — built-ins only:
+    sequence(0, len-n) → transform(concat slice).  Callers must pass a
+    materialized column reference, not the split() expression itself: an
+    expression captured inside the transform() lambda is re-evaluated
+    per element (the winnow_fingerprints O(L²) trap)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -43,9 +45,15 @@ def _token_ngrams(text_col: str, n: int):
 
 def with_shingle_hashes(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", ngram: int = 3) -> DataFrame:
-    """→ (id, shingles: array<long>) — xxhash64 of each word n-gram."""
-    sh = _token_ngrams(text_col, ngram)
-    return docs.select(
+    """→ (id, shingles: array<long>) — xxhash64 of each word n-gram.
+    Tokenization runs in its own projection (barrier) so the split is
+    computed once per document, not once per shingle."""
+    toked = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    sh = _token_ngrams(F.col("_toks"), ngram)
+    return toked.select(
         F.col(id_col),
         F.transform(sh, lambda s: F.xxhash64(s)).alias("shingles"),
     )
@@ -335,18 +343,23 @@ def simhash_text(docs: DataFrame, id_col: str = "doc_id",
     """Text SimHash: per-bit majority vote over token hashes — grouped
     per document with aggregate() (JVM-side).  → (id, simhash)."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # barrier projection: the hash array feeds n_bits aggregates below —
+    # inlined, tokenize+hash would re-run once PER BIT (32×)
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
+    )
 
     def bit_sum(b: int):
         # two-arg lambda only — extra defaulted params would change the
         # arity pyspark's lambda-inspection sees
         return F.aggregate(
-            hashes, F.lit(0),
+            F.col("_th"), F.lit(0),
             lambda acc, h: acc + F.when(F.shiftright(h, b) % 2 != 0, 1).otherwise(-1),
         )
 
     bit_sums = [bit_sum(b).alias(f"s{b}") for b in range(n_bits)]
-    tmp = docs.select(F.col(id_col), F.size(toks).alias("ntok"), *bit_sums)
+    tmp = hashed.select(F.col(id_col), F.size("_th").alias("ntok"), *bit_sums)
     sim = None
     for b in range(n_bits):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))

@@ -149,13 +149,21 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
         F.sequence(F.lit(1), n_grams),
         lambda i: F.md5(norm.substr(i, F.lit(k))),
     )
-    n_windows = F.greatest(F.size(gram_hashes) - (w - 1), F.lit(1))
+    # PROJECTION BARRIER — do not inline ``gram_hashes`` into the window
+    # lambda below: an expression captured inside a transform() lambda is
+    # re-evaluated PER ELEMENT, turning L·w window work into L² md5
+    # calls (measured 560 s → 2 s on 500 × 300-char docs at sf0.01).
+    # Materializing it as a column first keeps the md5 pass O(L); Spark's
+    # CollapseProject leaves the two projections split because the
+    # producer expression is non-cheap and referenced more than once.
+    grams = docs.select(F.col(id_col), gram_hashes.alias("gh"))
+    n_windows = F.greatest(F.size("gh") - (w - 1), F.lit(1))
     window_mins = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(gram_hashes, j, w)),
+        lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
     )
     fps = F.array_sort(F.array_distinct(window_mins))
-    return docs.select(
+    return grams.select(
         F.col(id_col),
         F.size(fps).cast("long").alias("n_fp"),
         F.md5(F.concat_ws("", fps)).alias("fp_hash"),
