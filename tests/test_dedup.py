@@ -265,3 +265,24 @@ def test_derived_phash_parity_spark_duckdb(spark):
         return bin(vals[a] ^ vals[b]).count("1")
 
     assert [d(0, 1), d(1, 2), d(0, 2), d(0, 3), d(2, 3), d(1, 3)] == [1, 1, 2, 3, 3, 4]
+
+
+def test_simhash_plus_hamming_band_join_finds_text_near_dups(spark):
+    """Composition: simhash_text → hamming_near_dups gives the SimHash
+    scale path for text (band join instead of all-pairs), finding the
+    planted near-identical docs and skipping unrelated ones."""
+    from mapsplit_spark.operators.dedup import hamming_near_dups, simhash_text
+
+    rows = [(0, BASE), (1, BASE.replace("summer", "winter"))] + [
+        (i, f"unrelated document {i} about {w} with distinct vocabulary "
+            f"entry number {i * 37} and a tail of filler words {i * 91}")
+        for i, w in enumerate(
+            ["volcanoes", "accordions", "submarines", "meadows"], start=10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash_text(docs, n_bits=32)
+    pairs = {(r.id_a, r.id_b) for r in
+             hamming_near_dups(sh, id_col="doc_id", hash_col="simhash",
+                               radius=3, n_bands=4, bits=32).collect()}
+    assert (0, 1) in pairs
+    assert all(a in (0, 1) and b in (0, 1) for a, b in pairs)
