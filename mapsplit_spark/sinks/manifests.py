@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 def tile_manifests(assignments: DataFrame, zoom: int, n_salts: int = 32,
                    id_col: str = "element_id",
-                   assume_distinct: bool = False) -> DataFrame:
+                   assume_distinct: bool = False,
+                   chunked: bool = False) -> DataFrame:
     """(element_id, tile_x, tile_y) → (zoom, tile_x, tile_y, element_ids sorted, n).
 
     Golden-output shape per FIXTURES.md §5.  Duplicate (element, tile)
@@ -39,6 +40,19 @@ def tile_manifests(assignments: DataFrame, zoom: int, n_salts: int = 32,
     (base/E/S/SE are distinct tiles) — pass ``assume_distinct=True``
     there to skip the dedupe shuffle (1 of 3 exchanges, ~1/3 of shuffled
     bytes); leave False after union-style propagation (J2/J5/J6).
+
+    ``chunked=True`` stops after the salted partial aggregation and
+    emits (zoom, tile_x, tile_y, salt, element_ids, n) CHUNK rows
+    (per-chunk sorted; the union of a tile's chunks is its manifest).
+    This is the shape that survives a pathological megatile: the flat
+    form must assemble one tile's full id array in a SINGLE task — a
+    measured salt-invariant bottleneck (BASELINE.md round 3: a 4 M-id
+    tile builds its final array single-threaded no matter how the
+    partial phase is salted) and an OOM bound at 100 TB — while chunk
+    rows are bounded by ids/n_salts and skip the second shuffle
+    entirely.  Downstream sinks that write id lists (parquet tiles,
+    payload joins) can consume chunks directly; only sinks that
+    contractually need one row per tile (MBTiles blob) pay the flatten.
     """
     # a per-row ``zoom`` column (multi-zoom optimized runs) joins the
     # grouping keys; otherwise the single configured zoom is attached
@@ -51,6 +65,15 @@ def tile_manifests(assignments: DataFrame, zoom: int, n_salts: int = 32,
     partial = salted.groupBy(*zoom_keys, "tile_x", "tile_y", "salt").agg(
         F.collect_list(id_col).alias("chunk")
     )
+    if chunked:
+        return partial.select(
+            F.col("zoom") if zoom_keys else F.lit(zoom).alias("zoom"),
+            "tile_x",
+            "tile_y",
+            "salt",
+            F.array_sort("chunk").alias("element_ids"),
+            F.size("chunk").cast("long").alias("n"),
+        )
     return (
         partial.groupBy(*zoom_keys, "tile_x", "tile_y")
         .agg(F.array_sort(F.flatten(F.collect_list("chunk"))).alias("element_ids"))

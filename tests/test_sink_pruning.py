@@ -84,3 +84,37 @@ def test_ivf_corpus_layout_prunes_cells_and_matches_in_memory(spark):
               ivf_topk(queries, corpus, dim, k=3, n_clusters=8, n_probe=2,
                        sample_rows=400).collect()}
     assert {tuple(r) for r in bucketed.collect()} == expect
+
+
+def test_chunked_manifest_union_equals_flat(spark):
+    """chunked=True chunk rows union to exactly the flat manifest, skip
+    the second exchange, and bound per-row id counts by ~ids/n_salts."""
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.sinks.manifests import tile_manifests
+
+    # one megatile (id%2==0 → tile (7,7)) + scattered tiles
+    pairs = spark.range(40_000).select(
+        F.col("id").alias("element_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise((F.col("id") % 50).cast("int")).alias("tile_x"),
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(((F.col("id") * 3) % 50).cast("int")).alias("tile_y"),
+    )
+    flat = tile_manifests(pairs, 13, n_salts=16, assume_distinct=True)
+    chunked = tile_manifests(pairs, 13, n_salts=16, assume_distinct=True, chunked=True)
+
+    flat_ids = {(r.tile_x, r.tile_y): sorted(r.element_ids) for r in flat.collect()}
+    got = {}
+    max_chunk = 0
+    for r in chunked.collect():
+        got.setdefault((r.tile_x, r.tile_y), []).extend(r.element_ids)
+        max_chunk = max(max_chunk, len(r.element_ids))
+    assert {k: sorted(v) for k, v in got.items()} == flat_ids
+    # megatile has 20k ids; chunks stay ~1/16 of that
+    assert max_chunk < 20_000 // 8
+    # one exchange only (no final flatten shuffle) — check a fresh plan:
+    # the executed df's adaptive final plan prints each shuffle stage
+    # twice (stage + reuse), inflating a string count
+    fresh = tile_manifests(pairs, 13, n_salts=16, assume_distinct=True,
+                           chunked=True)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
