@@ -1,0 +1,102 @@
+"""spark-submit entry point — image-corpus dedup pipeline.
+
+    spark-submit --py-files mapsplit_spark.zip jobs/dedup_job.py \
+        --input /data/images.parquet --output /out/dedup \
+        [--id-col image_id] [--hash-col phash] [--radius 3] [--bands 4] \
+        [--bits 64] [--max-bucket 1024] [--keep]
+
+Runs the pHash near-dup scale path over the input_hint table shape
+(image_id, ..., phash:int64): pigeonhole band join (exact recall for
+radius ≤ bands−1) → XOR/popcount verify → connected components →
+canonical dup groups.  Writes:
+
+    <output>/pairs/       (id_a, id_b, hamming)
+    <output>/components/  (id, component)  — component = group min id
+    <output>/kept/        the input rows minus non-representatives
+                          (only with --keep)
+
+Prints one JSON summary line.  Hot buckets are capped with the
+star-edge fallback; the run reports n_hot_buckets so degraded recall is
+visible, not silent (dedup.lsh_candidate_pairs docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="pHash near-dup pipeline (band join + CC)")
+    p.add_argument("--input", required=True, help="images parquet with an int64 hash column")
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="image_id")
+    p.add_argument("--hash-col", default="phash")
+    p.add_argument("--radius", type=int, default=3)
+    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--bits", type=int, default=64)
+    p.add_argument("--max-bucket", type=int, default=1024,
+                   help="hot-bucket star-edge cap; 0 disables (exact all-pairs)")
+    p.add_argument("--keep", action="store_true",
+                   help="also write the deduplicated corpus (input minus non-representatives)")
+    p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import Observation, SparkSession
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.components import connected_components
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+    from mapsplit_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("dedup-job", cores=args.cores,
+                      shuffle_partitions=2 * args.cores)
+    t0 = time.time()
+    try:
+        imgs = spark.read.parquet(args.input)
+        # the Observation rides the cap's bucket-stats aggregate, which
+        # only exists when the cap is enabled — attach it conditionally
+        # (obs.get on a never-observed Observation blocks forever)
+        obs = Observation("phash_hot_buckets") if args.max_bucket else None
+        pairs = hamming_near_dups(
+            imgs, id_col=args.id_col, hash_col=args.hash_col,
+            radius=args.radius, n_bands=args.bands, bits=args.bits,
+            max_bucket=args.max_bucket or None, observation=obs,
+        ).localCheckpoint(eager=True)  # pairs feed two consumers + the sink
+        pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+        comp = connected_components(pairs).localCheckpoint(eager=True)
+        comp.write.mode("overwrite").parquet(f"{args.output}/components")
+        n_kept = None
+        if args.keep:
+            losers = comp.filter(F.col("v") != F.col("component")).select(
+                F.col("v").alias(args.id_col)
+            )
+            kept = imgs.join(losers, args.id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+            n_kept = spark.read.parquet(f"{args.output}/kept").count()
+        m = obs.get if obs is not None else {}
+        print(json.dumps({
+            "pairs": pairs.count(),
+            "dup_members": comp.count(),
+            "dup_groups": comp.select("component").distinct().count(),
+            "kept": n_kept,
+            "n_hot_buckets": int(m.get("n_hot_buckets") or 0),
+            "max_bucket_size": int(m.get("max_bucket_size") or 0),
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+    finally:
+        if owns_session:  # don't tear down a caller-owned session (tests)
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()
