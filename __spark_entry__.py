@@ -579,14 +579,20 @@ def q_doc_jaccard_pairs(spark, sf_dir):
     path — the LSH candidate-generation scale path is pytest-verified in
     operators/dedup.py; this oracle-checked variant proves the verify
     stage's math)."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # tokenize in its own projection — a split() captured inside the
+    # shingle transform lambda would re-run per shingle (the doc_winnow
+    # lambda-capture class; see operators/textstats.py)
+    toked = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("_tk"),
+    )
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            F.sequence(F.lit(1), F.greatest(F.size("_tk") - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, 3)),
         )
     )
-    s = _t(spark, sf_dir, "documents").select(F.col("doc_id"), sh.alias("sh"))
+    s = toked.select(F.col("doc_id"), sh.alias("sh"))
     a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
