@@ -261,25 +261,54 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     return jaccard_verify(cands, shingled, threshold, id_col)
 
 
+def _band_exprs(hash_col: str, n_bands: int, bits: int) -> list:
+    """Band value expressions: ``n_bands`` contiguous bit slices of the
+    hash (widths differ by ≤1 when bits % n_bands ≠ 0).
+    shiftrightunsigned + mask, so signed 64-bit hashes (real pHash
+    stored as int64) band correctly."""
+    w, rem = divmod(bits, n_bands)
+    out, off = [], 0
+    for k in range(n_bands):
+        width = w + (1 if k < rem else 0)
+        out.append(
+            F.shiftrightunsigned(F.col(hash_col), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+        )
+        off += width
+    return out
+
+
 def hamming_banded(df: DataFrame, id_col: str, hash_col: str,
-                   n_bands: int, bits: int) -> DataFrame:
-    """Decompose an integer hash column into ``n_bands`` contiguous bit
-    bands → (id, band, bval) rows.  shiftrightunsigned + mask, so signed
-    64-bit hashes (e.g. real pHash stored as int64) band correctly."""
-    if bits % n_bands:
-        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
-    w = bits // n_bands
-    mask = (1 << w) - 1
+                   n_bands: int, bits: int, radius: int) -> DataFrame:
+    """Generalized pigeonhole decomposition → (id, band, bval) rows,
+    one per band COMBINATION: with ``m = n_bands`` bands, a pair within
+    Hamming distance ``radius`` touches at most ``radius`` bands, so at
+    least ``m − radius`` bands match exactly — hence the pair agrees on
+    at least one (m − radius)-subset of bands.  Join keys are therefore
+    the C(m, m−radius) band combinations (bval = xxhash64 of the
+    member values; hash collisions only ADD candidates, never lose
+    them, and verification removes them).
+
+    m = radius + 1 degenerates to classic single-band multi-index.
+    Larger m is the WEB-SCALE knob: expected candidate volume scales as
+    C(m, m−r) · N² / 2^((m−r)·bits/m), so for 64-bit hashes at r = 3,
+    m = 4 is fine to ~10^5 rows (16-bit keys), m = 8 (40-bit keys,
+    56 combos) carries ~10^9 rows.  Replication factor = C(m, m−r)
+    rows per input — keep m ≤ r + 5 or so."""
+    from itertools import combinations
+
+    m = n_bands
+    bands = _band_exprs(hash_col, m, bits)
+    combos = list(combinations(range(m), m - radius))
     return df.select(
         F.col(id_col),
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(k).alias("band"),
-                    F.shiftrightunsigned(F.col(hash_col), k * w)
-                    .bitwiseAND(F.lit(mask)).alias("bval"),
+                    F.lit(ci).alias("band"),
+                    F.xxhash64(*[bands[k] for k in combo]).alias("bval"),
                 )
-                for k in range(n_bands)
+                for ci, combo in enumerate(combos)
             ])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
@@ -322,16 +351,17 @@ def hamming_near_dups(df: DataFrame, id_col: str = "image_id",
     recall within a >cap bucket is not guaranteed).
 
     → (id_a, id_b, hamming) with id_a < id_b and hamming ≤ radius.
-    Raises if ``radius > n_bands − 1`` (the pigeonhole guarantee would
-    not hold; raise n_bands instead — recall stays exact while buckets
-    shrink 2^(bits/n_bands)-fold per added band)."""
+    Raises if ``radius > n_bands − 1`` (the pigeonhole guarantee needs
+    at least one untouched band; raise n_bands instead).  ``n_bands``
+    above radius+1 switches to combination keys (see hamming_banded) —
+    the knob that keeps candidate volume sane past ~10^5 rows."""
     if radius > n_bands - 1:
         raise ValueError(
             f"radius={radius} needs n_bands ≥ {radius + 1} for exact recall "
             f"(got {n_bands})"
         )
     hashed = df.select(id_col, hash_col)
-    banded = hamming_banded(hashed, id_col, hash_col, n_bands, bits)
+    banded = hamming_banded(hashed, id_col, hash_col, n_bands, bits, radius)
     pairs = _capped_bucket_pairs(
         banded, id_col, ["band", "bval"], max_bucket, observation
     )

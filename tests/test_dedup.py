@@ -286,3 +286,38 @@ def test_simhash_plus_hamming_band_join_finds_text_near_dups(spark):
                                radius=3, n_bands=4, bits=32).collect()}
     assert (0, 1) in pairs
     assert all(a in (0, 1) and b in (0, 1) for a, b in pairs)
+
+
+def test_hamming_combination_bands_exact_and_leaner(spark):
+    """n_bands > radius+1 switches to C(m, m-r) combination keys —
+    recall stays EXACT (differential vs brute force) while bucket keys
+    widen; also exercises uneven band widths (64 bits, 6 bands)."""
+    import numpy as np
+
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    rng = np.random.default_rng(23)
+    hashes = rng.integers(-(2 ** 63), 2 ** 63, 90, dtype=np.int64)
+    for i, (src, nbits) in enumerate([(0, 1), (1, 3), (2, 2)]):
+        v = int(hashes[src])
+        for b in rng.choice(64, nbits, replace=False):
+            v ^= 1 << int(b)
+        m = v & ((1 << 64) - 1)
+        hashes[80 + i] = m - (1 << 64) if m >= (1 << 63) else m
+    df = spark.createDataFrame(
+        [(int(i), int(h)) for i, h in enumerate(hashes)],
+        "image_id long, phash long",
+    )
+    exp = set()
+    uh = [int(h) & ((1 << 64) - 1) for h in hashes]
+    for i in range(len(uh)):
+        for j in range(i + 1, len(uh)):
+            d = _popcount_xor(uh[i], uh[j])
+            if d <= 3:
+                exp.add((i, j, d))
+    for m in (6, 8):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_dups(df, radius=3, n_bands=m, bits=64).collect()
+        }
+        assert got == exp, f"n_bands={m}"
