@@ -141,7 +141,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     catches them.  Pass a ``pyspark.sql.Observation`` as ``observation``
     to measure this in-flight: after the first action it reports
     ``n_hot_buckets`` / ``max_bucket_size`` / ``n_star_docs`` at zero
-    extra cost (piggybacks the existing bucket-stats aggregate); alert on
+    extra cost (piggybacks the bucket groupBy); alert on
     ``n_hot_buckets > 0``.  The full histogram is ``bucket_sizes()``.
 
     The banded relation feeds 2-3 consumers (bucket stats, both join
@@ -158,52 +158,75 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 
 def _capped_bucket_pairs(banded: DataFrame, id_col: str, bucket_cols: list,
                          max_bucket: int | None,
-                         observation=None) -> DataFrame:
+                         observation=None, carry: str | None = None,
+                         pair_filter=None) -> DataFrame:
     """Shared bucket-join candidate generation: self-join ``banded`` on
     ``bucket_cols`` with the hot-bucket star-edge cap (aggregate +
     semi-join, all JVM — see ``lsh_candidate_pairs`` for the recall
     caveat).  → distinct (id_a, id_b), id_a < id_b.  Used by both the
-    MinHash-LSH and the Hamming/pHash band joins."""
-    if max_bucket is None:
-        small, star = banded, None
-    else:
-        stats = banded.groupBy(*bucket_cols).agg(
-            F.count("*").alias("bsize"), F.min(id_col).alias("hub")
-        )
-        if observation is not None:
-            hot = F.col("bsize") > max_bucket
-            stats = stats.observe(
-                observation,
-                F.sum(hot.cast("long")).alias("n_hot_buckets"),
-                F.max("bsize").alias("max_bucket_size"),
-                F.sum(F.when(hot, F.col("bsize")).otherwise(0)).alias("n_star_docs"),
-            )
-        small = banded.join(
-            stats.filter(F.col("bsize") <= max_bucket).select(*bucket_cols),
-            bucket_cols, "left_semi",
-        )
-        star = (
-            banded.join(
-                stats.filter(F.col("bsize") > max_bucket).select(*bucket_cols, "hub"),
-                bucket_cols,
-            )
-            .filter(F.col(id_col) != F.col("hub"))
-            .select(
-                F.least(id_col, "hub").alias("id_a"),
-                F.greatest(id_col, "hub").alias("id_b"),
-            )
-        )
-    left = small.alias("l")
-    right = small.alias("r")
-    pairs = (
-        left.join(right, bucket_cols)
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+    MinHash-LSH and the Hamming/pHash band joins.
+
+    ``carry`` names a per-id column of ``banded`` to propagate onto
+    pairs as ``{carry}_a`` / ``{carry}_b`` — lets a cheap verification
+    run INLINE on the pair stream instead of joining the corpus back
+    per side.  ``pair_filter`` is a predicate applied BEFORE the dedup
+    distinct: for cheap verifications (one xor+popcount) filtering
+    first shrinks the distinct's shuffle from the full candidate volume
+    to the survivors.
+
+    Physical shape — ONE exchange for the whole candidate stage: group
+    the banded relation by bucket key, collect the (sorted) member
+    array, and expand pairs MAP-SIDE with higher-order functions (the
+    join-based formulation needed 5 passes over the banded relation:
+    stats aggregate, semi-join both sides, self-join both sides —
+    measured 1.9× slower end-to-end on a 5 M-hash m=8 probe).  Per-bucket memory for
+    the expansion is O(max_bucket²) structs (≈ 12 MB at the default
+    cap), which is exactly the quadratic blowup the cap already
+    bounds."""
+    payload_fields = [F.col(id_col).alias("i")]
+    if carry is not None:
+        payload_fields.append(F.col(carry).alias("c"))
+    grouped = banded.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_list(F.struct(*payload_fields))).alias("mem")
     )
-    if star is not None:
-        pairs = pairs.unionByName(star)
+    s = F.size("mem")
+    if observation is not None and max_bucket is not None:
+        hot = s > max_bucket
+        grouped = grouped.observe(
+            observation,
+            F.sum(hot.cast("long")).alias("n_hot_buckets"),
+            F.max(s).alias("max_bucket_size"),
+            F.sum(F.when(hot, s).otherwise(0)).alias("n_star_docs"),
+        )
+
+    def pair_struct(x, y):
+        return F.struct(x["i"].alias("ia"), y["i"].alias("ib"),
+                        *([x["c"].alias("ca"), y["c"].alias("cb")]
+                          if carry is not None else []))
+
+    # members sorted by id → positional pairs already satisfy id_a < id_b
+    all_pairs = F.flatten(F.transform(
+        "mem",
+        lambda x, i: F.transform(
+            F.slice("mem", i + 2, F.greatest(s - i - 1, F.lit(0))),
+            lambda y: pair_struct(x, y),
+        ),
+    ))
+    if max_bucket is None:
+        chosen = all_pairs
+    else:
+        star_pairs = F.transform(
+            F.slice("mem", 2, F.greatest(s - 1, F.lit(0))),
+            lambda y: pair_struct(F.col("mem")[0], y),
+        )
+        chosen = F.when(s <= max_bucket, all_pairs).otherwise(star_pairs)
+    out_cols = [F.col("p.ia").alias("id_a"), F.col("p.ib").alias("id_b")]
+    if carry is not None:
+        out_cols += [F.col("p.ca").alias(f"{carry}_a"),
+                     F.col("p.cb").alias(f"{carry}_b")]
+    pairs = grouped.select(F.explode(chosen).alias("p")).select(*out_cols)
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
     return pairs.distinct()
 
 
@@ -291,10 +314,14 @@ def hamming_banded(df: DataFrame, id_col: str, hash_col: str,
 
     m = radius + 1 degenerates to classic single-band multi-index.
     Larger m is the WEB-SCALE knob: expected candidate volume scales as
-    C(m, m−r) · N² / 2^((m−r)·bits/m), so for 64-bit hashes at r = 3,
-    m = 4 is fine to ~10^5 rows (16-bit keys), m = 8 (40-bit keys,
-    56 combos) carries ~10^9 rows.  Replication factor = C(m, m−r)
-    rows per input — keep m ≤ r + 5 or so."""
+    C(m, m−r) · N² / 2^((m−r)·bits/m) while row replication is
+    C(m, m−r) — pick the SMALLEST m whose key width (m−r)·bits/m gives
+    2^width ≫ N.  Measured on 5 M 64-bit hashes at r = 3 (24 cores,
+    ~5 M planted pairs): m = 4 (16-bit keys) quadratic-collision death
+    (>600 s in the band join), m = 6 (32-bit keys, 20 combos) 49 s,
+    m = 8 (40-bit keys, 56 combos) 326 s — correct but paying 2.8×
+    replication for key entropy that 5 M rows don't need; m = 8 is the
+    ~10^9-row setting."""
     from itertools import combinations
 
     m = n_bands
@@ -302,6 +329,7 @@ def hamming_banded(df: DataFrame, id_col: str, hash_col: str,
     combos = list(combinations(range(m), m - radius))
     return df.select(
         F.col(id_col),
+        F.col(hash_col),
         F.explode(
             F.array(*[
                 F.struct(
@@ -311,7 +339,8 @@ def hamming_banded(df: DataFrame, id_col: str, hash_col: str,
                 for ci, combo in enumerate(combos)
             ])
         ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    ).select(id_col, hash_col,
+             F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
 
 
 def hamming_verify(pairs: DataFrame, hashed: DataFrame, radius: int,
@@ -342,8 +371,9 @@ def hamming_near_dups(df: DataFrame, id_col: str = "image_id",
     — this is the exact-recall analog of MinHash banding, and the
     standard way image corpora dedup pHash at scale.
 
-    Scale shape: candidate generation is an equi-join on (band, bval) —
-    no cross join; verification is one XOR+popcount per colliding pair.
+    Scale shape: candidate generation is ONE grouped exchange with
+    map-side pair expansion — no join, no cross join; verification is
+    one XOR+popcount per colliding pair, inline, before the distinct.
     EXACT duplicates collide in every band, so corpora with heavy exact
     duplication should run ``exact_dup_groups`` first (or rely on
     ``max_bucket``: same star-edge degradation + Observation reporting
@@ -362,10 +392,19 @@ def hamming_near_dups(df: DataFrame, id_col: str = "image_id",
         )
     hashed = df.select(id_col, hash_col)
     banded = hamming_banded(hashed, id_col, hash_col, n_bands, bits, radius)
-    pairs = _capped_bucket_pairs(
-        banded, id_col, ["band", "bval"], max_bucket, observation
+    # hashes ride the banded rows (8 B each), so verification is an
+    # INLINE xor+popcount on the join output — filtered BEFORE the
+    # dedup distinct, which therefore shuffles only survivors (and no
+    # corpus join-back per side; with the single-shuffle candidate
+    # stage: 629 s → 326 s on a 5 M-hash m=8 probe, identical output)
+    ham = F.bit_count(
+        F.col(f"{hash_col}_a").bitwiseXOR(F.col(f"{hash_col}_b"))
     )
-    return hamming_verify(pairs, hashed, radius, id_col, hash_col)
+    pairs = _capped_bucket_pairs(
+        banded, id_col, ["band", "bval"], max_bucket, observation,
+        carry=hash_col, pair_filter=ham <= radius,
+    )
+    return pairs.select("id_a", "id_b", ham.alias("hamming"))
 
 
 def simhash_text(docs: DataFrame, id_col: str = "doc_id",

@@ -206,8 +206,9 @@ def test_hamming_cap_star_edges_keep_cluster_connected(spark):
 
 
 def test_hamming_plan_no_cartesian(spark):
-    """Candidate generation is an equi-join on (band, bval) — no cross
-    join, no Python, cap as semi-join (same shape as the LSH path)."""
+    """Candidate generation is one grouped exchange + map-side pair
+    expansion with the popcount verify INLINE (before the distinct) —
+    no cross join, no Python, no corpus join-back."""
     from mapsplit_spark.operators.dedup import hamming_near_dups
 
     df = spark.range(50).selectExpr("id AS image_id", "id * 7919 AS phash")
@@ -216,7 +217,9 @@ def test_hamming_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
-    assert "LeftSemi" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2  # bucket groupBy + final distinct
+    assert "bit_count" in plan
 
 
 def test_phash_on_real_image_fixture(spark, images_dir):

@@ -88,9 +88,11 @@ def test_manifests_salted_two_phase_with_zoom_column(spark, pairs):
     assert any("hashpartitioning(zoom" in ln for ln in plan.splitlines())
 
 
-def test_lsh_bucket_cap_is_semi_join_not_python(spark):
-    """The hot-bucket cap is an aggregate + semi-join (JVM), adding no
-    Python and leaving the band join an equi-join."""
+def test_lsh_bucket_cap_single_exchange_no_python(spark):
+    """Candidate generation (including the hot-bucket cap) is ONE
+    grouped exchange + map-side pair expansion — no Python, no join,
+    no cartesian (the round-3 single-shuffle formulation; the earlier
+    aggregate+semi-join shape cost 5 passes over the banded relation)."""
     from mapsplit_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -101,7 +103,12 @@ def test_lsh_bucket_cap_is_semi_join_not_python(spark):
         [(f"d{i}", f"text body number {i} with several words") for i in range(20)],
         "doc_id string, text string",
     )
-    sigs = minhash_signatures(with_shingle_hashes(docs), 32)
-    plan = _plan(lsh_candidate_pairs(sigs, bands=8, max_bucket=64))
+    sigs = minhash_signatures(with_shingle_hashes(docs), 32,
+                              id_col="doc_id")
+    plan = _plan(lsh_candidate_pairs(sigs, bands=8, max_bucket=64,
+                                     materialize_banded=False))
     assert "EvalPython" not in plan and "InPandas" not in plan
-    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # map-side expansion, not a self-join
+    # banded → grouped candidate stage → final distinct = 2 exchanges
+    assert plan.count("Exchange") == 2
