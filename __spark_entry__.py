@@ -565,8 +565,17 @@ def q_doc_lang_id(spark, sf_dir):
 def q_doc_winnow(spark, sf_dir):
     """Winnowing (rolling-window k-gram) document fingerprints — the
     local fingerprinting scheme (Schleimer et al. 2003); md5-string
-    hashes keep the construction portable to the DuckDB oracle."""
-    return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    hashes keep the construction portable to the DuckDB oracle.
+
+    The fixture table is ONE small parquet file → one input partition,
+    which would serialize the whole md5-gram pass into a single task
+    (measured 12 of 15 s at sf0.1); repartition first so the
+    expression-heavy map runs wide.  At real scale the input is many
+    files and this is a no-op in spirit."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return textstats.winnow_fingerprints(docs)
 
 
 def q_doc_fingerprint(spark, sf_dir):
