@@ -410,9 +410,13 @@ def q_lsh_near_dup(spark, sf_dir):
     knn_tiled↔exact-kNN gate)."""
     from mapsplit_spark.operators.dedup import minhash_near_dups
 
+    # repartition the single-file fixture read so the shingle+minhash
+    # expression pass runs wide (same artifact as q_doc_winnow)
     return minhash_near_dups(
-        _t(spark, sf_dir, "documents"), ngram=3, num_hashes=32, bands=16,
-        threshold=0.9,
+        _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        ngram=3, num_hashes=32, bands=16, threshold=0.9,
     )
 
 
