@@ -118,7 +118,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
                         id_col: str = "doc_id",
                         max_bucket: int | None = 1024,
                         observation=None,
-                        materialize_banded: bool = True) -> DataFrame:
+                        materialize_banded: bool = False) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band hash are
     candidates.  → distinct (id_a, id_b) with id_a < id_b.
 
@@ -144,10 +144,12 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     extra cost (piggybacks the bucket groupBy); alert on
     ``n_hot_buckets > 0``.  The full histogram is ``bucket_sizes()``.
 
-    The banded relation feeds 2-3 consumers (bucket stats, both join
-    sides) and carries the full minhash computation — recomputing it per
-    consumer costs ~40% end-to-end (measured sf0.1), so it is
-    materialized once by default (``materialize_banded``)."""
+    ``materialize_banded`` predates the single-shuffle candidate stage,
+    when the banded relation fed three consumers (bucket stats + both
+    join sides) and checkpointing it once saved ~40% end-to-end.  The
+    grouped formulation consumes it exactly once, so the default is now
+    False (measured 1.59 → 1.42 s at sf0.1); pass True only if you fan
+    the same banded relation into extra consumers of your own."""
     banded = _banded(signatures, bands, id_col)
     if materialize_banded:
         banded = banded.localCheckpoint(eager=True)
