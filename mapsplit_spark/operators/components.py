@@ -60,6 +60,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         stepped = (
             labels.join(nb, labels["v"] == nb["src"], "left")
             .select(labels["v"], F.least("lab", "nlab").alias("lab"))
+            # materialize before the x/y self-join below: an uncheckpointed
+            # plan aliased as both sides would recompute the edges⋈labels
+            # join + aggregate twice per round (2× every iteration)
+            .localCheckpoint(eager=True)
         )
         # pointer jumping: follow the label's own label (path doubling)
         x, y = stepped.alias("x"), stepped.alias("y")

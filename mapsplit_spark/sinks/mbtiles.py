@@ -85,10 +85,16 @@ def _tileset_bounds(tile_rows) -> str | None:
 
 def _write_sqlite(path: str, tile_rows, fmt: str, zooms: set,
                   fallback_zoom: int, latest_date_ms: int,
-                  description: str) -> None:
-    if os.path.exists(path):
-        os.remove(path)
-    conn = sqlite3.connect(path)
+                  description: str, tmp_suffix: str = "") -> None:
+    """Write one SQLite file ATOMICALLY: build at a unique temp path,
+    os.replace() into place on success — a task retry or speculative
+    duplicate attempt can never leave a truncated/corrupt file or
+    interleave two writers on the final path (executor-side shard
+    writes pass a task-attempt-unique ``tmp_suffix``)."""
+    tmp = f"{path}.tmp{tmp_suffix}"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    conn = sqlite3.connect(tmp)
     try:
         cur = conn.cursor()
         cur.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
@@ -116,8 +122,13 @@ def _write_sqlite(path: str, tile_rows, fmt: str, zooms: set,
         }
         cur.executemany("INSERT INTO metadata VALUES (?,?)", meta.items())
         conn.commit()
-    finally:
+    except BaseException:
         conn.close()
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    conn.close()
+    os.replace(tmp, path)  # atomic publish
 
 
 def export_mbtiles(spark, manifests: DataFrame, path: str, zoom: int,
@@ -154,6 +165,14 @@ def export_mbtiles_sharded(manifests: DataFrame, out_dir: str, zoom: int,
     fmt, date_ms = FORMAT, latest_date_ms  # close over plain values only
 
     def write_partition(it) -> None:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        # task-attempt-unique temp suffix → a retried / speculative
+        # duplicate attempt builds its own temp file; whichever attempt
+        # finishes last atomically os.replace()s the final shard path
+        # (both attempts write identical bytes — deterministic input)
+        suffix = f".attempt{tc.taskAttemptId()}" if tc is not None else ""
         by_shard: dict[int, list] = {}
         for r in it:
             by_shard.setdefault(int(r.shard), []).append(
@@ -164,6 +183,7 @@ def export_mbtiles_sharded(manifests: DataFrame, out_dir: str, zoom: int,
                 os.path.join(out_dir, f"shard-{shard:05d}.mbtiles"),
                 sorted(tiles), fmt, {t[0] for t in tiles}, zoom, date_ms,
                 f"tile manifests from mapsplit_spark (shard {shard})",
+                tmp_suffix=suffix,
             )
 
     rows.repartition(n_shards, "shard").foreachPartition(write_partition)

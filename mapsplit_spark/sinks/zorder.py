@@ -36,9 +36,31 @@ def write_tiles_zorder(df: DataFrame, out_path: str, n_files: int = 64,
     """Materialize with Z-order clustering: morton column + range
     repartition + in-file sort → tight disjoint per-file morton stats.
     The morton column is kept in the data so parquet min/max stats (file
-    and row-group level) drive skipping on read."""
+    and row-group level) drive skipping on read.
+
+    Raises on tile coords outside the ``_BITS`` morton domain: a coord
+    ≥ 2^16 would silently alias to a wrong morton cell and
+    ``read_tiles_bbox``'s range predicate would then EXCLUDE the row —
+    an in-bbox row silently dropped (the x/y re-filter runs after the
+    range scan, so it cannot restore what the ranges pruned).  The guard
+    rides the write pass itself (raise_error inside the morton
+    projection) — no extra scan of the input."""
+    lim = 1 << _BITS
+    in_domain = (
+        (F.col(x_col) >= 0) & (F.col(x_col) < lim)
+        & (F.col(y_col) >= 0) & (F.col(y_col) < lim)
+    )
+    guarded_morton = F.when(
+        in_domain, morton_col(F.col(x_col), F.col(y_col))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("write_tiles_zorder: tile coord ("),
+        F.col(x_col).cast("string"), F.lit(", "), F.col(y_col).cast("string"),
+        F.lit(f") outside the {_BITS}-bit morton domain [0, {lim}) — "
+              f"zoom > {_BITS} layouts need a wider morton (raise _BITS "
+              f"consistently with bbox_morton_ranges) or a coarser zoom"),
+    )).cast("long"))
     (
-        df.withColumn("morton", morton_col(F.col(x_col), F.col(y_col)))
+        df.withColumn("morton", guarded_morton)
         .repartitionByRange(n_files, "morton")
         .sortWithinPartitions("morton")
         .write.mode("overwrite")

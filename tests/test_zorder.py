@@ -106,3 +106,18 @@ def test_layout_skips_most_files_for_small_bbox(zorder_path):
         if any(not (hi < lo_f or lo > hi_f) for lo, hi in ranges)
     )
     assert hit <= len(stats) // 4
+
+
+def test_write_raises_outside_morton_domain(spark, tmp_path):
+    """ADVICE r3: coords ≥ 2^16 would alias to wrong morton cells and be
+    silently DROPPED by the bbox range scan — the write must refuse them
+    loudly (guard rides the write pass via raise_error, no extra scan)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") + (1 << 16) - 2).alias("tile_x"),  # ids 2,3 overflow
+        F.lit(5).alias("tile_y"),
+    )
+    with pytest.raises(Exception, match="morton domain"):
+        write_tiles_zorder(df, str(tmp_path / "zo"), n_files=2)
