@@ -162,11 +162,10 @@ def _capped_bucket_pairs(banded: DataFrame, id_col: str, bucket_cols: list,
                          max_bucket: int | None,
                          observation=None, carry: str | None = None,
                          pair_filter=None) -> DataFrame:
-    """Shared bucket-join candidate generation: self-join ``banded`` on
-    ``bucket_cols`` with the hot-bucket star-edge cap (aggregate +
-    semi-join, all JVM — see ``lsh_candidate_pairs`` for the recall
-    caveat).  → distinct (id_a, id_b), id_a < id_b.  Used by both the
-    MinHash-LSH and the Hamming/pHash band joins.
+    """Shared bucket-join candidate generation with the hot-bucket
+    star-edge cap (see ``lsh_candidate_pairs`` for the recall caveat).
+    → distinct (id_a, id_b), id_a < id_b.  Used by both the MinHash-LSH
+    and the Hamming/pHash band joins.
 
     ``carry`` names a per-id column of ``banded`` to propagate onto
     pairs as ``{carry}_a`` / ``{carry}_b`` — lets a cheap verification
@@ -176,57 +175,97 @@ def _capped_bucket_pairs(banded: DataFrame, id_col: str, bucket_cols: list,
     first shrinks the distinct's shuffle from the full candidate volume
     to the survivors.
 
-    Physical shape — ONE exchange for the whole candidate stage: group
-    the banded relation by bucket key, collect the (sorted) member
-    array, and expand pairs MAP-SIDE with higher-order functions (the
-    join-based formulation needed 5 passes over the banded relation:
-    stats aggregate, semi-join both sides, self-join both sides —
-    measured 1.9× slower end-to-end on a 5 M-hash m=8 probe).  Per-bucket memory for
-    the expansion is O(max_bucket²) structs (≈ 12 MB at the default
-    cap), which is exactly the quadratic blowup the cap already
-    bounds."""
+    Physical shape — ONE exchange over the banded relation: hash-
+    partition by bucket key, annotate every row with its bucket size
+    and hub (min payload) via WINDOW functions, then
+
+    * cold buckets (size ≤ cap): groupBy + collect the sorted member
+      array + map-side all-pairs expansion with higher-order functions
+      (no join, no cartesian — the join-based formulation needed 5
+      passes and measured 1.9× slower on a 5 M-hash m=8 probe).  The
+      collect_list here is BOUNDED by the cap (≤ cap structs/row);
+    * hot buckets (size > cap): each non-hub row emits exactly ONE
+      hub-star pair PER ROW — no aggregation, so a degenerate bucket
+      of ANY size (mass exact duplicates) never materializes into a
+      single row.  (Round-4 fix: the previous formulation
+      collect_list'ed the full bucket before capping the expansion —
+      O(bucket) single-row memory, unbounded by the cap; the window
+      buffer this replaces it with spills to disk.)
+
+    The two branches read the SAME exchange (ReuseExchange — pinned in
+    tests/test_plans_r2.py) and the cold groupBy re-uses the window's
+    hash partitioning, so the big relation still shuffles once.
+
+    ``observation`` (with a cap set) reports n_hot_buckets /
+    max_bucket_size / n_star_docs via a separate small bucket-size
+    aggregate job fired eagerly at call time (exactly-once metrics; an
+    observe node inside the dual-consumer pair plan would double-count
+    under the shared exchange)."""
     payload_fields = [F.col(id_col).alias("i")]
     if carry is not None:
         payload_fields.append(F.col(carry).alias("c"))
-    grouped = banded.groupBy(*bucket_cols).agg(
-        F.array_sort(F.collect_list(F.struct(*payload_fields))).alias("mem")
-    )
-    s = F.size("mem")
-    if observation is not None and max_bucket is not None:
-        hot = s > max_bucket
-        grouped = grouped.observe(
-            observation,
-            F.sum(hot.cast("long")).alias("n_hot_buckets"),
-            F.max(s).alias("max_bucket_size"),
-            F.sum(F.when(hot, s).otherwise(0)).alias("n_star_docs"),
-        )
+    base = banded.select(*bucket_cols, F.struct(*payload_fields).alias("p"))
 
     def pair_struct(x, y):
         return F.struct(x["i"].alias("ia"), y["i"].alias("ib"),
                         *([x["c"].alias("ca"), y["c"].alias("cb")]
                           if carry is not None else []))
 
-    # members sorted by id → positional pairs already satisfy id_a < id_b
-    all_pairs = F.flatten(F.transform(
-        "mem",
-        lambda x, i: F.transform(
-            F.slice("mem", i + 2, F.greatest(s - i - 1, F.lit(0))),
-            lambda y: pair_struct(x, y),
-        ),
-    ))
+    def all_pairs_of(grouped: DataFrame) -> DataFrame:
+        # members sorted by id → positional pairs satisfy id_a < id_b
+        s = F.size("mem")
+        expanded = F.flatten(F.transform(
+            "mem",
+            lambda x, i: F.transform(
+                F.slice("mem", i + 2, F.greatest(s - i - 1, F.lit(0))),
+                lambda y: pair_struct(x, y),
+            ),
+        ))
+        return grouped.select(F.explode(expanded).alias("pp"))
+
     if max_bucket is None:
-        chosen = all_pairs
+        pairs2 = all_pairs_of(base.groupBy(*bucket_cols).agg(
+            F.array_sort(F.collect_list("p")).alias("mem")
+        ))
     else:
-        star_pairs = F.transform(
-            F.slice("mem", 2, F.greatest(s - 1, F.lit(0))),
-            lambda y: pair_struct(F.col("mem")[0], y),
+        if observation is not None:
+            hot_sz = F.col("bsize") > max_bucket
+            (
+                base.groupBy(*bucket_cols)
+                .agg(F.count("*").alias("bsize"))
+                .observe(
+                    observation,
+                    F.sum(hot_sz.cast("long")).alias("n_hot_buckets"),
+                    F.max("bsize").alias("max_bucket_size"),
+                    F.sum(F.when(hot_sz, F.col("bsize")).otherwise(0)).alias("n_star_docs"),
+                )
+                .count()  # fire metrics exactly once (JVM-only action)
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*bucket_cols)
+        ann = base.select(
+            *bucket_cols, "p",
+            F.count("*").over(w).alias("bsize"),
+            F.min("p").over(w).alias("hub"),
         )
-        chosen = F.when(s <= max_bucket, all_pairs).otherwise(star_pairs)
-    out_cols = [F.col("p.ia").alias("id_a"), F.col("p.ib").alias("id_b")]
+        cold_pairs = all_pairs_of(
+            ann.filter(F.col("bsize") <= max_bucket)
+            .groupBy(*bucket_cols)
+            .agg(F.array_sort(F.collect_list("p")).alias("mem"))
+        )
+        # hub = min payload → hub.i < p.i for every non-hub row
+        hot_pairs = (
+            ann.filter((F.col("bsize") > max_bucket) & (F.col("p") != F.col("hub")))
+            .select(pair_struct(F.col("hub"), F.col("p")).alias("pp"))
+        )
+        pairs2 = cold_pairs.unionByName(hot_pairs)
+
+    out_cols = [F.col("pp.ia").alias("id_a"), F.col("pp.ib").alias("id_b")]
     if carry is not None:
-        out_cols += [F.col("p.ca").alias(f"{carry}_a"),
-                     F.col("p.cb").alias(f"{carry}_b")]
-    pairs = grouped.select(F.explode(chosen).alias("p")).select(*out_cols)
+        out_cols += [F.col("pp.ca").alias(f"{carry}_a"),
+                     F.col("pp.cb").alias(f"{carry}_b")]
+    pairs = pairs2.select(*out_cols)
     if pair_filter is not None:
         pairs = pairs.filter(pair_filter)
     return pairs.distinct()

@@ -212,14 +212,52 @@ def test_hamming_plan_no_cartesian(spark):
     from mapsplit_spark.operators.dedup import hamming_near_dups
 
     df = spark.range(50).selectExpr("id AS image_id", "id * 7919 AS phash")
-    plan = hamming_near_dups(df, radius=3, n_bands=4, bits=64, max_bucket=16) \
-        ._jdf.queryExecution().executedPlan().toString()
+    out = hamming_near_dups(df, radius=3, n_bands=4, bits=64, max_bucket=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "Join" not in plan
-    assert plan.count("Exchange") == 2  # bucket groupBy + final distinct
     assert "bit_count" in plan
+    # r4 memory-safe shape: the banded relation feeds a window-annotated
+    # cold/hot Union — TWO textual exchanges pre-AQE (same canonical
+    # exchange; runtime-reused, see test_hot_bucket_exchange_reused)
+    # plus the final distinct
+    assert plan.count("Exchange hashpartitioning(band") == 2
+    assert plan.count("Exchange") == 3
+
+
+def test_hot_bucket_exchange_reused_and_not_collected(spark):
+    """ADVICE r3 (medium): a >cap bucket must never materialize into a
+    single collect_list row — hot rows emit hub-star pairs PER ROW.
+    Asserts (a) star semantics on a 60-dup hot bucket, (b) the banded
+    relation physically shuffles ONCE (AQE ReusedExchange in the final
+    plan), (c) the cold branch's collect_list only ever sees ≤cap
+    buckets (filter below the aggregate)."""
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    dup = spark.range(60).select(F.col("id").alias("image_id"),
+                                 F.lit(123456789).alias("phash"))
+    rnd = spark.range(1000, 1200).select(
+        F.col("id").alias("image_id"), (F.col("id") * 982451653).alias("phash"))
+    out = hamming_near_dups(dup.unionByName(rnd), radius=3, n_bands=4,
+                            bits=64, max_bucket=16)
+    rows = out.collect()
+    # 60 exact dups in one >cap bucket → 59 hub-star edges, hub = min id
+    assert len(rows) == 59
+    assert {(r.id_a, r.hamming) for r in rows} == {(0, 0)}
+    assert {r.id_b for r in rows} == set(range(1, 60))
+
+    import contextlib
+    from io import StringIO
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") == 1
 
 
 def test_phash_on_real_image_fixture(spark, images_dir):

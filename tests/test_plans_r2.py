@@ -110,5 +110,9 @@ def test_lsh_bucket_cap_single_exchange_no_python(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # map-side expansion, not a self-join
-    # banded → grouped candidate stage → final distinct = 2 exchanges
-    assert plan.count("Exchange") == 2
+    # r4 memory-safe shape: window-annotated cold/hot Union — the banded
+    # exchange appears once per branch pre-AQE (runtime-reused: pinned in
+    # test_dedup.test_hot_bucket_exchange_reused_and_not_collected) plus
+    # the final distinct
+    assert plan.count("Exchange hashpartitioning(band") == 2
+    assert plan.count("Exchange") == 3
