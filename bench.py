@@ -100,12 +100,15 @@ def _scaling_pipeline(spark, n_rows: int):
     return tile_manifests(pairs, 13, assume_distinct=True)
 
 
-def cluster_flagship_time(n_execs: int, cores_per: int, rows: int) -> float:
+def cluster_flagship_time(n_execs: int, cores_per: int, rows: int,
+                          runs: int = 1) -> float:
     """Flagship wall time on a local-cluster master — SEPARATE executor
     JVMs, the honest sandbox analog of 'N executors' (single-JVM
     local[N] thread scaling is capped by this VM — see BASELINE.md
     'Why local-cluster').  Fixed per-executor resources; only the
-    executor count changes between the two levels."""
+    executor count changes between the two levels.  One warm pass, then
+    ``runs`` timed passes (default ONE — the r4 protocol takes its
+    statistics ACROSS fresh processes, not within one)."""
     from pyspark.sql import SparkSession
 
     total = n_execs * cores_per
@@ -122,7 +125,7 @@ def cluster_flagship_time(n_execs: int, cores_per: int, rows: int) -> float:
     try:
         _force(_scaling_pipeline(spark, rows // 20))  # warm JIT/codegen
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             _force(_scaling_pipeline(spark, rows))
             best = min(best, time.perf_counter() - t0)
@@ -150,11 +153,19 @@ def main() -> None:
         # 1.5-2.5× slower on this VM (lingering JVM/OS state) — the
         # interleaved best-of-2 subprocess protocol reproduces within
         # ~10% where the in-process ladder swung E between 0.50 and 1.2.
+        # r4 protocol (VERDICT r3 #3): MEDIAN of ≥3 interleaved
+        # fresh-process samples per level — not best-of-2 with post-hoc
+        # outlier adjudication.  The median is robust to this VM's ±27%
+        # same-code noise band without anyone deciding which sample was
+        # "the bad one"; per-sample lists are reported so the spread is
+        # visible in BENCH/BASELINE.md.
+        import statistics
         import subprocess
 
         n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"))
         n_exec = int(os.environ.get("SPARK_GRAFT_EXECS", "1"))
         cores_per = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+        n_samples = max(3, int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "3")))
 
         def level_time(execs: int) -> float:
             code = (
@@ -168,19 +179,23 @@ def main() -> None:
             ).stdout.strip().splitlines()[-1]
             return float(out)
 
-        t_low, t_high = float("inf"), float("inf")
-        for _ in range(2):  # interleave levels; best per level
-            t_low = min(t_low, level_time(n_exec))
-            t_high = min(t_high, level_time(4 * n_exec))
+        lows, highs = [], []
+        for _ in range(n_samples):  # strict interleave: low, high, low, ...
+            lows.append(level_time(n_exec))
+            highs.append(level_time(4 * n_exec))
+        t_low, t_high = statistics.median(lows), statistics.median(highs)
         eff = (n / t_high) / (4 * (n / t_low))
         print(json.dumps({
             "metric": "scaling efficiency (N→4N executors, flagship tile-split)",
             "value": round(eff, 3), "unit": "ratio",
+            "protocol": f"median of {n_samples} interleaved fresh-process samples/level",
             "executors_low": f"{n_exec}x{cores_per}",
             "executors_high": f"{4 * n_exec}x{cores_per}",
             "throughput_low_rows_per_sec": round(n / t_low, 1),
             "throughput_high_rows_per_sec": round(n / t_high, 1),
             "t_low_sec": round(t_low, 3), "t_high_sec": round(t_high, 3),
+            "t_low_samples": [round(t, 2) for t in lows],
+            "t_high_samples": [round(t, 2) for t in highs],
             "rows": n, "sf": sf,
         }))
         return

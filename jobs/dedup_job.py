@@ -38,7 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="image_id")
     p.add_argument("--hash-col", default="phash")
     p.add_argument("--radius", type=int, default=3)
-    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--bands", type=int, default=0,
+                   help="pigeonhole band count; 0 (default) self-sizes from "
+                        "the corpus row count (dedup.auto_bands — the old "
+                        "fixed default of 4 collapses past ~10^6 rows)")
     p.add_argument("--bits", type=int, default=64)
     p.add_argument("--max-bucket", type=int, default=1024,
                    help="hot-bucket star-edge cap; 0 disables (exact all-pairs)")
@@ -54,7 +57,7 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from mapsplit_spark.operators.components import connected_components
-    from mapsplit_spark.operators.dedup import hamming_near_dups
+    from mapsplit_spark.operators.dedup import auto_bands, hamming_near_dups
     from mapsplit_spark.session import get_spark
 
     owns_session = SparkSession.getActiveSession() is None
@@ -63,13 +66,20 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.time()
     try:
         imgs = spark.read.parquet(args.input)
+        # self-size the pigeonhole band count unless pinned (VERDICT r3
+        # #2: the old fixed --bands 4 is the setting the 5 M-hash ladder
+        # shows dying quadratically past ~10^6 rows); computed here (not
+        # inside the operator) so the choice lands in the JSON summary
+        bands = args.bands or auto_bands(
+            imgs.select(args.id_col).count(), args.radius, args.bits
+        )
         # the Observation rides the cap's bucket-stats aggregate, which
         # only exists when the cap is enabled — attach it conditionally
         # (obs.get on a never-observed Observation blocks forever)
         obs = Observation("phash_hot_buckets") if args.max_bucket else None
         pairs = hamming_near_dups(
             imgs, id_col=args.id_col, hash_col=args.hash_col,
-            radius=args.radius, n_bands=args.bands, bits=args.bits,
+            radius=args.radius, n_bands=bands, bits=args.bits,
             max_bucket=args.max_bucket or None, observation=obs,
         ).localCheckpoint(eager=True)  # pairs feed two consumers + the sink
         pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
@@ -85,6 +95,7 @@ def main(argv: list[str] | None = None) -> None:
             n_kept = spark.read.parquet(f"{args.output}/kept").count()
         m = obs.get if obs is not None else {}
         print(json.dumps({
+            "bands": bands,
             "pairs": pairs.count(),
             "dup_members": comp.count(),
             "dup_groups": comp.select("component").distinct().count(),

@@ -68,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="image_id")
     p.add_argument("--lon-col", default="lon")
     p.add_argument("--lat-col", default="lat")
+    p.add_argument("--chunked-manifests", action="store_true",
+                   help="write manifests as per-salt CHUNK rows (zoom, tile_x, "
+                        "tile_y, salt, element_ids, n) instead of one row per "
+                        "tile — the megatile-safe shape: no single task ever "
+                        "assembles a hot tile's full id array (manifests.py "
+                        "chunked docs; a tile's manifest is the flattened "
+                        "sorted union of its chunks).  Incompatible with "
+                        "--mbtiles/--tile-files, which contractually need one "
+                        "row per tile")
     p.add_argument("--payload", action="store_true",
                    help="materialize payload columns per tile (join bytes last; "
                         "P4 metadata null check aborts bad inputs)")
@@ -90,6 +99,11 @@ def _read_date_file(path: str) -> int | None:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.chunked_manifests and (args.mbtiles or args.tile_files or args.workdir):
+        raise SystemExit(
+            "--chunked-manifests is incompatible with --mbtiles/--tile-files "
+            "(one-row-per-tile sinks) and --workdir (stage manifests are flat)"
+        )
     from pyspark.sql import SparkSession
 
     from mapsplit_spark.session import get_spark
@@ -189,7 +203,8 @@ def main(argv=None) -> None:
                 modified_tiles, ["zoom", "tile_x", "tile_y"], "left_semi")
 
     if manifests is None:
-        manifests = tile_manifests(tiled, args.zoom, assume_distinct=True)
+        manifests = tile_manifests(tiled, args.zoom, assume_distinct=True,
+                                   chunked=args.chunked_manifests)
     manifests.write.mode("overwrite").parquet(os.path.join(args.output, "manifests"))
 
     # A3 latestDate — deterministic metadata + --date-file write-back
@@ -250,10 +265,13 @@ def main(argv=None) -> None:
                   "(stage metrics tables); total wall_sec is in the summary")
 
     m = spark.read.parquet(os.path.join(args.output, "manifests"))
+    n_tiles = (m.select("zoom", "tile_x", "tile_y").distinct().count()
+               if args.chunked_manifests else m.count())
     print(json.dumps({
-        "tiles": m.count(),
+        "tiles": n_tiles,
         "elements": m.agg(F.sum("n")).collect()[0][0],
         "incremental": appointment_ms is not None,
+        "chunked": bool(args.chunked_manifests),
         "latest_date_ms": int(latest_ms),
         "wall_sec": round(time.time() - t0, 2),
     }))

@@ -398,9 +398,41 @@ def hamming_verify(pairs: DataFrame, hashed: DataFrame, radius: int,
     )
 
 
+def auto_bands(n_rows: int, radius: int, bits: int = 64,
+               max_pairs_per_row: float = 0.5) -> int:
+    """Self-sizing pigeonhole band count (VERDICT r3 #2): the smallest
+    ``m ≥ radius+1`` whose combination-key width keeps the EXPECTED
+    random-collision candidate volume at or below
+    ``max_pairs_per_row · n_rows``.  Expected candidate pairs for
+    full-entropy hashes ≈ C(m, m−r) · N² / 2^((m−r)·bits/m), so the
+    criterion is 2^width ≥ C(m, m−r) · N / max_pairs_per_row.
+
+    The 0.5-pairs-per-row default is anchored to the measured 5 M-hash
+    ladder (BASELINE.md round 3): it reproduces m = radius+1 for small
+    corpora, m = 6 at 5 M rows (measured 49 s; the m=4 default this
+    replaces died >600 s there), m = 7-8 around 10⁹, and keeps climbing
+    (≈ m = 10, 120× replication) at the 10¹¹-image scale — replication
+    is the honest price of exact radius-r recall; cap-based star
+    degradation stays orthogonal (``max_bucket``).
+
+    Planted/duplicate-heavy corpora collide MORE than full-entropy
+    hashes — this sizes the random-collision floor, ``max_bucket``
+    bounds the rest."""
+    from math import comb
+
+    n = max(int(n_rows), 1)
+    m = radius + 1
+    while m < bits:
+        width = (m - radius) * bits / m
+        if 2.0 ** width >= comb(m, m - radius) * n / max_pairs_per_row:
+            return m
+        m += 1
+    return bits  # degenerate: 1-bit bands, key = all but r bits
+
+
 def hamming_near_dups(df: DataFrame, id_col: str = "image_id",
                       hash_col: str = "phash", radius: int = 3,
-                      n_bands: int = 4, bits: int = 64,
+                      n_bands: int | None = None, bits: int = 64,
                       max_bucket: int | None = 1024,
                       observation=None) -> DataFrame:
     """pHash-style near-dup detection over an integer hash column (the
@@ -425,7 +457,14 @@ def hamming_near_dups(df: DataFrame, id_col: str = "image_id",
     Raises if ``radius > n_bands − 1`` (the pigeonhole guarantee needs
     at least one untouched band; raise n_bands instead).  ``n_bands``
     above radius+1 switches to combination keys (see hamming_banded) —
-    the knob that keeps candidate volume sane past ~10^5 rows."""
+    the knob that keeps candidate volume sane past ~10^5 rows.
+
+    ``n_bands=None`` (the default since r4) SELF-SIZES the knob from
+    the corpus row count via ``auto_bands`` — one cheap metadata count
+    up front; pass an explicit value to skip the count (required for
+    unbounded/streaming inputs)."""
+    if n_bands is None:
+        n_bands = auto_bands(df.select(id_col).count(), radius, bits)
     if radius > n_bands - 1:
         raise ValueError(
             f"radius={radius} needs n_bands ≥ {radius + 1} for exact recall "

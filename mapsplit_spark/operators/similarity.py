@@ -1,29 +1,92 @@
 """Similarity search over embedding columns (engine addition).
 
 * ``cosine_topk`` — exact brute force: broadcast the (small) query set,
-  unrolled fixed-dim dot product as a single codegen expression (no
-  Python UDF, deterministic left-to-right summation shared with the
-  DuckDB oracle via sqlgen.dot_sql), per-query top-k window.
+  codegen-safe higher-order-function dot product (see ``dot_col``),
+  norms precomputed per SIDE before the join, per-query top-k window.
 * ``lsh_bucket_topk`` — scale path: random-hyperplane (SimHash) bucket
   join first, exact re-rank inside buckets.  At 100 TB the corpus side
   is written bucketed by signature, so a query touches only its bucket
   (+ optional multi-probe neighbours) instead of the full corpus.
+
+Round-4 codegen fix: the previous per-PAIR expression (three unrolled
+64-term dots, duplicated again into the filter) blew janino's 64 KB
+method limit, so Spark silently fell back to INTERPRETED evaluation of
+exactly the hot path every IVF/kNN probe re-ranks on.  The fixed shape:
+
+* norms are computed once per SIDE before the join (n rows, not n²);
+* the n² pair stream evaluates ONE dot — unrolled text (whole-stage
+  codegen, measured 13.8 → 7-8 s on the sf0.1 all-pairs near-dup) for
+  dims up to ``UNROLL_MAX_DIM``, where a single dot provably fits the
+  method limit even with Catalyst's filter duplication;
+* above that, ``dot_col`` — one compact higher-order-function
+  expression (``F.aggregate(F.zip_with(...))``): slower per pair than
+  a codegen'd unrolled dot (array allocation per pair) but immune to
+  expression-size limits at any dim.
+
+Both forms fold left-to-right with per-element double casts — the same
+float64 tree as the unrolled ``sqlgen.dot_sql`` text the DuckDB
+oracles run, so gate parity is unchanged (pinned bit-exact in
+tests/test_plans_r4.py, which also compiles every WholeStageCodegen
+subtree via the debug API and bans the -1 compile-failure marker).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 from .. import sqlgen
 
+# one unrolled dot ≈ dim × ~25 B of method bytecode; the pair stage
+# carries ≤ 2 copies (project + pushed filter) — 128 dims stays well
+# under janino's 65 536-byte method limit (the r3 failure was SIX
+# 64-dim copies in one stage)
+UNROLL_MAX_DIM = 128
 
-def _norm_expr(col: str, dim: int) -> str:
-    return f"SQRT({sqlgen.dot_sql(col, col, dim, one_based=False)})"
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Codegen-safe dot product of two equal-length float arrays: one
+    higher-order-function expression — compact bytecode at ANY dim.
+    Left-to-right fold from 0.0 with per-element double casts — the
+    same float64 tree as ``sqlgen.dot_sql`` (0.0 + t0 ≡ t0 in IEEE for
+    the non-zero embeddings this runs on), so results stay bit-exact
+    vs the oracle text."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(v: Column) -> Column:
+    return F.sqrt(dot_col(v, v))
+
+
+def dot_pair(a: str, b: str, dim: int) -> Column:
+    """The n²-pair-stream dot: unrolled (codegen) while a single dot
+    fits the janino method limit, HOF above."""
+    if dim <= UNROLL_MAX_DIM:
+        return F.expr(sqlgen.dot_sql(a, b, dim, one_based=False))
+    return dot_col(F.col(a), F.col(b))
+
+
+def _cos_pair(vec_q: str, vec_c: str, dim: int) -> Column:
+    """Per-pair cosine with the norms read from the precomputed side
+    columns (``_qn`` / ``_cn``) — the n² pair stream does ONE dot, not
+    three."""
+    return dot_pair(vec_q, vec_c, dim) / (F.col("_qn") * F.col("_cn"))
+
+
+def _with_norms(queries: DataFrame, corpus: DataFrame,
+                vec_q: str, vec_c: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        queries.withColumn("_qn", norm_col(F.col(vec_q))),
+        corpus.withColumn("_cn", norm_col(F.col(vec_c))),
+    )
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
@@ -31,14 +94,11 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
                 vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:
     """→ (qid, rank, cid, cos_sim) — exact cosine top-k, self-matches
     excluded, ties broken by cid for determinism."""
-    joined = F.broadcast(queries).crossJoin(corpus).filter(F.col(id_q) != F.col(id_c))
-    cos = F.expr(
-        f"{sqlgen.dot_sql(vec_q, vec_c, dim, one_based=False)} / "
-        f"({_norm_expr(vec_q, dim)} * {_norm_expr(vec_c, dim)})"
-    )
+    qn, cn = _with_norms(queries, corpus, vec_q, vec_c)
+    joined = F.broadcast(qn).crossJoin(cn).filter(F.col(id_q) != F.col(id_c))
     w = Window.partitionBy(id_q).orderBy(F.col("cos_sim").desc(), F.col(id_c).asc())
     return (
-        joined.withColumn("cos_sim", F.round(cos, 6))
+        joined.withColumn("cos_sim", F.round(_cos_pair(vec_q, vec_c, dim), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_q, "rank", id_c, "cos_sim")
@@ -52,13 +112,15 @@ def simhash_signature(df: DataFrame, vec_col: str, dim: int, n_bits: int = 16,
     unrolled dot-product sign, packed with bit arithmetic."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
-    bit_exprs = []
+    bucket = None
     for b in range(n_bits):
-        terms = " + ".join(
-            f"CAST({vec_col}[{i}] AS DOUBLE) * {planes[b, i]!r}" for i in range(dim)
-        )
-        bit_exprs.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << b} ELSE 0 END)")
-    return df.withColumn("bucket", F.expr(" + ".join(bit_exprs)).cast("long"))
+        # one HOF dot per plane (codegen-safe; the unrolled form was
+        # n_bits × dim terms — the same janino 64 KB class as dot_col)
+        plane = F.array(*[F.lit(float(planes[b, i])) for i in range(dim)])
+        s = dot_col(F.col(vec_col), plane)
+        bit = F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return df.withColumn("bucket", bucket.cast("long"))
 
 
 def _kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8,
@@ -125,15 +187,13 @@ def _probe_cells_udf(centroids: np.ndarray, n_probe: int):
 def _probe_rerank(qb: DataFrame, cb: DataFrame, dim: int, k: int,
                   id_q: str, id_c: str, vec_q: str, vec_c: str) -> DataFrame:
     """Probe-cell equi-join + exact cosine re-rank; multi-probe
-    duplicates dropped before ranking."""
-    joined = F.broadcast(qb).join(cb, "ivf_cell").filter(F.col(id_q) != F.col(id_c))
-    cos = F.expr(
-        f"{sqlgen.dot_sql(vec_q, vec_c, dim, one_based=False)} / "
-        f"({_norm_expr(vec_q, dim)} * {_norm_expr(vec_c, dim)})"
-    )
+    duplicates dropped before ranking.  Norms computed once per SIDE
+    (pre-join) — the probe-join pair stream does one HOF dot."""
+    qn, cn = _with_norms(qb, cb, vec_q, vec_c)
+    joined = F.broadcast(qn).join(cn, "ivf_cell").filter(F.col(id_q) != F.col(id_c))
     w = Window.partitionBy(id_q).orderBy(F.col("cos_sim").desc(), F.col(id_c).asc())
     return (
-        joined.withColumn("cos_sim", F.round(cos, 6))
+        joined.withColumn("cos_sim", F.round(_cos_pair(vec_q, vec_c, dim), 6))
         .dropDuplicates([id_q, id_c])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -198,16 +258,15 @@ def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
                     vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:
     """Approximate top-k: SimHash bucket equi-join + exact re-rank.
     Recall < 1 by design; widen with fewer bits or multi-probe."""
-    qb = simhash_signature(queries, vec_q, dim, n_bits)
-    cb = simhash_signature(corpus, vec_c, dim, n_bits)
-    joined = qb.join(cb, "bucket").filter(F.col(id_q) != F.col(id_c))
-    cos = F.expr(
-        f"{sqlgen.dot_sql(vec_q, vec_c, dim, one_based=False)} / "
-        f"({_norm_expr(vec_q, dim)} * {_norm_expr(vec_c, dim)})"
+    qb, cb = _with_norms(
+        simhash_signature(queries, vec_q, dim, n_bits),
+        simhash_signature(corpus, vec_c, dim, n_bits),
+        vec_q, vec_c,
     )
+    joined = qb.join(cb, "bucket").filter(F.col(id_q) != F.col(id_c))
     w = Window.partitionBy(id_q).orderBy(F.col("cos_sim").desc(), F.col(id_c).asc())
     return (
-        joined.withColumn("cos_sim", F.round(cos, 6))
+        joined.withColumn("cos_sim", F.round(_cos_pair(vec_q, vec_c, dim), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_q, "rank", id_c, "cos_sim")

@@ -127,33 +127,27 @@ def fingerprint_dup_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
-                        id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003,
-    the rolling-hash local fingerprinting scheme): hash every ``k``-char
-    gram of the whitespace-normalized text, slide a window of ``w``
-    consecutive gram hashes, keep each window's minimum — the selected
-    set is position-robust and guarantees any shared substring of length
-    ≥ w + k − 1 contributes at least one common fingerprint.
-
-    Hashes are md5 hex strings compared lexicographically — portable
-    across Spark and DuckDB (xxhash64 is not), so the driver gate can
-    verify the construction value-exactly.  → (doc_id, n_fp, fp_hash)
-    with fp_hash = md5 over the sorted distinct fingerprint set.
-    Built-ins only: sequence/transform/slice/array_min — JVM-side.
-    """
+def _winnow_fps(docs: DataFrame, k: int, w: int, id_col: str,
+                text_col: str, gram_hash) -> DataFrame:
+    """Shared winnowing body (Schleimer-Wilkerson-Aiken 2003): hash
+    every k-char gram of the normalized text with ``gram_hash``, slide
+    a w-window over the gram-hash array, keep each window's minimum.
+    → (id, fps) with fps = sorted distinct selected hashes.  The
+    winnowing guarantee (any shared substring of length ≥ w + k − 1
+    contributes ≥ 1 common fingerprint) holds for ANY hash function;
+    WHICH positions are selected depends on the hash's ordering, so the
+    md5 and xxhash64 variants are not cross-comparable."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     gram_hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(norm.substr(i, F.lit(k))),
+        lambda i: gram_hash(norm.substr(i, F.lit(k))),
     )
     # PROJECTION BARRIER — do not inline ``gram_hashes`` into the window
     # lambda below: an expression captured inside a transform() lambda is
-    # re-evaluated PER ELEMENT, turning L·w window work into L² md5
+    # re-evaluated PER ELEMENT, turning L·w window work into L² hash
     # calls (measured 560 s → 2 s on 500 × 300-char docs at sf0.01).
-    # Materializing it as a column first keeps the md5 pass O(L); Spark's
+    # Materializing it as a column first keeps the hash pass O(L); Spark's
     # CollapseProject leaves the two projections split because the
     # producer expression is non-cheap and referenced more than once.
     grams = docs.select(F.col(id_col), gram_hashes.alias("gh"))
@@ -162,9 +156,54 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
         F.sequence(F.lit(1), n_windows),
         lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
     )
-    fps = F.array_sort(F.array_distinct(window_mins))
     return grams.select(
         F.col(id_col),
-        F.size(fps).cast("long").alias("n_fp"),
-        F.md5(F.concat_ws("", fps)).alias("fp_hash"),
+        F.array_sort(F.array_distinct(window_mins)).alias("fps"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints — ORACLE-PORTABLE variant.
+
+    Hashes are md5 hex strings compared lexicographically — portable
+    across Spark and DuckDB (xxhash64 is not), so the driver gate can
+    verify the construction value-exactly.  → (doc_id, n_fp, fp_hash)
+    with fp_hash = md5 over the sorted distinct fingerprint set.
+    Built-ins only: sequence/transform/slice/array_min — JVM-side.
+    For the corpus-scale pipeline use ``winnow_fingerprints_fast``
+    (xxhash64 longs: 8 B per gram vs ~48 B per md5 hex string — the
+    r3-verdict memory concern)."""
+    sel = _winnow_fps(docs, k, w, id_col, text_col, F.md5)
+    return sel.select(
+        F.col(id_col),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.md5(F.concat_ws("", F.col("fps"))).alias("fp_hash"),
+    )
+
+
+def winnow_fingerprints_fast(docs: DataFrame, k: int = 5, w: int = 4,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             with_fps: bool = False) -> DataFrame:
+    """Winnowing — PRODUCTION variant (VERDICT r3 #7): xxhash64 long
+    gram hashes.  Same construction and the same local-fingerprinting
+    guarantee; the per-gram intermediate drops from a 32-char hex
+    string (~48 B with object overhead) to an 8 B long, and min/sort
+    compare as integers instead of strings.  Differentially tested
+    against an independent Python sliding-window recomputation over the
+    same xxhash64 values (tests/test_operators.py).  NOT comparable to
+    the md5 gate variant: window minima depend on the hash ordering.
+
+    → (doc_id, n_fp, fp_hash:long[, fps]) — fp_hash = xxhash64 over the
+    comma-joined sorted selected set."""
+    sel = _winnow_fps(docs, k, w, id_col, text_col, F.xxhash64)
+    out = [
+        F.col(id_col),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.xxhash64(F.concat_ws(",", F.transform(
+            F.col("fps"), lambda v: v.cast("string")))).alias("fp_hash"),
+    ]
+    if with_fps:
+        out.append(F.col("fps"))
+    return sel.select(*out)

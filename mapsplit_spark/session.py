@@ -26,6 +26,14 @@ def get_spark(app: str = "mapsplit-spark", cores: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NOTE on spark.sql.codegen.hugeMethodLimit: we measured (r4,
+        # BASELINE.md "codegen vs JIT") that lowering it to HotSpot's
+        # 8 KB JIT threshold speeds giant-single-expression stages 3×
+        # (the whole-stage method never JITs above 8 KB) but REGRESSES
+        # stages where only one helper method exceeds the limit and the
+        # rest JIT fine (doc_quality +60%, tile_cellid +28%).  Kept at
+        # the Spark default; hot pair-scan expressions are instead kept
+        # small by construction (similarity.dot_pair: one dot per pair).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -102,18 +102,29 @@ FROM (
     )
 
 
+def expand_select_sql(src: str) -> str:
+    """The neighbour-expansion SELECT over an assignment relation named
+    ``src`` — E, S, and SE-iff-both (AbstractOsmMap.java:106-114).
+    Exposed separately so callers that must FLATTEN their CTE list
+    (DuckDB's WITH RECURSIVE rejects a nested WITH inside a CTE body)
+    can place the assignment as a sibling CTE."""
+    return f"""
+SELECT element_id, tile_x, tile_y FROM {src}
+UNION ALL
+SELECT element_id, tile_x + 1, tile_y FROM {src} WHERE neighbour % 2 = 1
+UNION ALL
+SELECT element_id, tile_x, tile_y + 1 FROM {src} WHERE neighbour >= 2
+UNION ALL
+SELECT element_id, tile_x + 1, tile_y + 1 FROM {src} WHERE neighbour = 3
+"""
+
+
 def expand_union_sql(assign_sql: str) -> str:
     """Expand (tile, neighbour) rows → distinct member tiles via UNION ALL
     (AbstractOsmMap.java:106-114: E, S, and SE-iff-both)."""
     return f"""
 WITH a AS ({assign_sql})
-SELECT element_id, tile_x, tile_y FROM a
-UNION ALL
-SELECT element_id, tile_x + 1, tile_y FROM a WHERE neighbour % 2 = 1
-UNION ALL
-SELECT element_id, tile_x, tile_y + 1 FROM a WHERE neighbour >= 2
-UNION ALL
-SELECT element_id, tile_x + 1, tile_y + 1 FROM a WHERE neighbour = 3
+{expand_select_sql("a")}
 """
 
 

@@ -298,3 +298,44 @@ def test_timing_flag_prints_stage_metrics(spark, images_dir, outbase, capsys):
     stages = {ln.split("stage=")[1].split()[0] for ln in lines}
     assert {"assign", "manifests"} <= stages
     assert all("wall_sec=" in ln and "rows=" in ln for ln in lines)
+
+
+def test_chunked_manifests_e2e_union_equals_flat(spark, images_dir, outbase, capsys):
+    """--chunked-manifests (VERDICT r3 #6): the megatile-safe chunk-row
+    sink wired e2e — reassembling each tile's chunks (flatten + sort)
+    must reproduce the flat manifests EXACTLY, and the summary reports
+    true tile/element counts over chunk rows."""
+    from pyspark.sql import functions as F
+
+    flat_out = os.path.join(outbase, "flat")
+    chunk_out = os.path.join(outbase, "chunked")
+    base = ["--input", f"{images_dir}/images.parquet",
+            "--zoom", "13", "--border", "0.1"]
+    s_flat = _run([*base, "--output", flat_out], capsys)
+    s_chunk = _run([*base, "--output", chunk_out, "--chunked-manifests"], capsys)
+    assert s_chunk["chunked"] and not s_flat["chunked"]
+    assert s_chunk["tiles"] == s_flat["tiles"]
+    assert s_chunk["elements"] == s_flat["elements"]
+
+    flat = spark.read.parquet(os.path.join(flat_out, "manifests"))
+    chunks = spark.read.parquet(os.path.join(chunk_out, "manifests"))
+    assert "salt" in chunks.columns
+    reassembled = (
+        chunks.groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.array_sort(F.flatten(F.collect_list("element_ids"))).alias("element_ids"),
+             F.sum("n").alias("n"))
+    )
+    a = {(r.zoom, r.tile_x, r.tile_y): (tuple(r.element_ids), r.n)
+         for r in reassembled.collect()}
+    b = {(r.zoom, r.tile_x, r.tile_y): (tuple(r.element_ids), r.n)
+         for r in flat.collect()}
+    assert a == b
+
+
+def test_chunked_manifests_rejects_flat_only_sinks(images_dir, outbase):
+    with pytest.raises(SystemExit, match="chunked-manifests"):
+        split_main([
+            "--input", f"{images_dir}/images.parquet",
+            "--output", os.path.join(outbase, "bad"),
+            "--chunked-manifests", "--mbtiles", os.path.join(outbase, "x.mbtiles"),
+        ])

@@ -362,3 +362,53 @@ def test_hamming_combination_bands_exact_and_leaner(spark):
             for r in hamming_near_dups(df, radius=3, n_bands=m, bits=64).collect()
         }
         assert got == exp, f"n_bands={m}"
+
+
+def test_auto_bands_ladder():
+    """Self-sizing anchors vs the measured 5 M-hash ladder (BASELINE.md
+    r3): m=4 (the old fixed default) died >600 s at 5 M rows; m=6 ran
+    49 s there; ~10^9 needs 7-8; the criterion is expected random-
+    collision candidates ≤ 0.5·N."""
+    from math import comb
+
+    from mapsplit_spark.operators.dedup import auto_bands
+
+    assert auto_bands(1_000, 3) == 4           # radius+1 for tiny corpora
+    assert auto_bands(5_000_000, 3) == 6       # the measured sweet spot
+    assert 7 <= auto_bands(10**9, 3) <= 8
+    assert auto_bands(10**11, 3) >= 9          # 10^12-image scale climbs
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**8, 10**9, 10**10):
+        m = auto_bands(n, 3)
+        assert m >= prev
+        # the chosen m actually satisfies the volume criterion
+        width = (m - 3) * 64 / m
+        assert 2.0 ** width >= comb(m, m - 3) * n / 0.5
+        prev = m
+    assert auto_bands(10, 5) == 6              # never below pigeonhole min
+
+
+def test_hamming_default_self_sizes(spark):
+    """n_bands=None (the new default) must produce the same verified
+    pairs as an explicit radius+1 at small N — the sizing only changes
+    candidate generation, never the exact-recall output."""
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    base = spark.range(200).select(
+        F.col("id").alias("image_id"),
+        (F.col("id") * 982451653).alias("phash"),
+    )
+    # plant pairs: ids 1000+g differ from 2000+g by 2 bits
+    g = spark.range(30)
+    planted = g.select(F.col("id").alias("image_id"),
+                       (F.col("id") * 77777 + 5).alias("phash")).unionByName(
+        g.select((F.col("id") + 1000).alias("image_id"),
+                 (F.col("id") * 77777 + 5).cast("long")
+                 .bitwiseXOR(F.lit(0x0000000400000001)).alias("phash")))
+    df = base.unionByName(planted)
+    auto = hamming_near_dups(df, radius=3)  # n_bands self-sized
+    explicit = hamming_near_dups(df, radius=3, n_bands=4)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+    assert auto.count() >= 30

@@ -293,3 +293,55 @@ def test_propagate_newer_closes_over_membership(spark):
     got = {r.element_id for r in propagate_newer(edges, newer).collect()}
     # img2 newer ⇒ s1 (contains it) ⇒ c1 (contains s1) ⇒ c3 (contains c1)
     assert got == {"img2", "s1", "c1", "c3"}
+
+
+def test_winnow_fast_differential_and_guarantee(spark):
+    """winnow_fingerprints_fast (xxhash64 production variant) — (a)
+    differential: the selected fingerprint set equals an independent
+    Python sliding-window-min recomputation over the SAME xxhash64 gram
+    values; (b) the winnowing guarantee: two docs sharing a substring of
+    length ≥ w + k − 1 share at least one fingerprint; (c) the md5 gate
+    variant still returns identical n_fp row counts (same construction,
+    different hash order)."""
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_fast,
+    )
+
+    shared = "the identical shared clause appears verbatim in both documents"
+    rows = [
+        ("a", f"first document prefix {shared} and a unique tail here"),
+        ("b", f"totally different opening text {shared} closing differently"),
+        ("c", "no overlap with anything else at all in this one honestly"),
+        ("d", "xy"),  # shorter than k: single-gram degenerate path
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    k, w = 5, 4
+    got = {r.doc_id: r for r in
+           winnow_fingerprints_fast(docs, k, w, with_fps=True).collect()}
+
+    # (a) independent recomputation: xxhash64 of each k-gram via a
+    # separate exploded query (different plan shape), window-min in
+    # plain Python
+    norm = {d: " ".join(t.strip().lower().split()) for d, t in rows}
+    gram_rows = [(d, i, norm[d][i:i + k])
+                 for d in norm for i in range(max(1, len(norm[d]) - k + 1))]
+    gh = spark.createDataFrame(gram_rows, "doc_id string, i int, gram string") \
+        .select("doc_id", "i", F.xxhash64("gram").alias("h")).collect()
+    by_doc = {}
+    for r in gh:
+        by_doc.setdefault(r.doc_id, {})[r.i] = r.h
+    for d, hs in by_doc.items():
+        seq = [hs[i] for i in range(len(hs))]
+        mins = {min(seq[j:j + w]) for j in range(max(1, len(seq) - w + 1))}
+        assert sorted(mins) == list(got[d].fps), f"doc {d} selection mismatch"
+
+    # (b) guarantee: a and b share a ≥ w+k−1 substring → common fp
+    assert set(got["a"].fps) & set(got["b"].fps)
+    assert not set(got["c"].fps) & set(got["a"].fps)
+
+    # (c) same construction shape as the md5 gate variant
+    md5_nfp = {r.doc_id: r.n_fp for r in winnow_fingerprints(docs, k, w).collect()}
+    assert set(md5_nfp) == set(got)

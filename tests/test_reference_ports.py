@@ -70,3 +70,31 @@ def test_sessions_fixture_drop_and_tags(spark, images_dir):
     assert {r.session_id for r in tagged.collect()} == {
         r.session_id for r in ses.collect() if int(r.session_id[3:]) % 5 == 0
     }
+
+
+def test_merge_walk_two_independent_formulations_agree():
+    """VERDICT r3 #8: the tile_merge gate's oracle walk
+    (__spark_entry__._oracle_zoom_walk — closed-form over the monotone
+    block-total ladder) must agree with the operator's stateful
+    prev-block loop (optimize.compute_zoom_map) on randomized count
+    maps — the two sides of the gate no longer share code, so their
+    agreement is evidence, not tautology."""
+    import random
+
+    from __spark_entry__ import _oracle_zoom_walk
+    from mapsplit_spark.operators.optimize import compute_zoom_map
+
+    rng = random.Random(42)
+    for trial in range(60):
+        zoom = rng.choice([8, 13])
+        limit = rng.choice([1, 3, 5, 20])
+        n = rng.randrange(1, 120)
+        counts = {}
+        # clustered keys so sibling blocks actually collide
+        for _ in range(n):
+            bx, by = rng.randrange(0, 4) * 16, rng.randrange(0, 4) * 16
+            counts[(bx + rng.randrange(16), by + rng.randrange(16))] = \
+                rng.randrange(1, 6 * limit)
+        a = compute_zoom_map(dict(counts), zoom, limit)
+        b = _oracle_zoom_walk(dict(counts), zoom, limit)
+        assert a == b, f"trial {trial}: {len(a)} vs {len(b)} mismatch"
