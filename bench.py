@@ -34,6 +34,20 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
 
     bench_set = [
         "tile_manifest",        # flagship: assign → expand → salted manifests
+        "tile_assign",          # r4: previously un-benched gates below
+        "latest_ts",
+        "bounds_union",
+        "lang_profile",
+        "doc_exact_dup",
+        "doc_lang_id",
+        "doc_dedup_keep",
+        # emb_near_dup and doc_jaccard_pairs are deliberately NOT
+        # benched: both are the labeled n² brute-force GATE variants
+        # (12 s and tens of minutes respectively at sf0.1 — the Jaccard
+        # one intersects ~150-token shingle arrays for 12.5 M pairs on
+        # the single-partition BNLJ output); the production near-dup
+        # paths (lsh/phash/ann) are in the suite
+        "modified_tiles_sessions",  # r4: watermark + transitive closure
         "tile_assign_border",
         "tile_counts",
         "session_tiles",
@@ -184,11 +198,20 @@ def main() -> None:
             lows.append(level_time(n_exec))
             highs.append(level_time(4 * n_exec))
         t_low, t_high = statistics.median(lows), statistics.median(highs)
-        eff = (n / t_high) / (4 * (n / t_low))
+        # headline statistic: median of PER-ROUND paired ratios — each
+        # round's (low, high) ran back-to-back, so slow-drifting VM
+        # capacity cancels inside the ratio (the reason the samples are
+        # interleaved at all); the separate-medians ratio is reported
+        # alongside, it re-admits cross-round drift
+        round_effs = [tl / (4 * th) for tl, th in zip(lows, highs)]
+        eff = statistics.median(round_effs)
         print(json.dumps({
             "metric": "scaling efficiency (N→4N executors, flagship tile-split)",
             "value": round(eff, 3), "unit": "ratio",
-            "protocol": f"median of {n_samples} interleaved fresh-process samples/level",
+            "protocol": (f"median of {n_samples} per-round-paired ratios, "
+                         f"interleaved fresh processes"),
+            "round_effs": [round(e, 3) for e in round_effs],
+            "eff_separate_medians": round((n / t_high) / (4 * (n / t_low)), 3),
             "executors_low": f"{n_exec}x{cores_per}",
             "executors_high": f"{4 * n_exec}x{cores_per}",
             "throughput_low_rows_per_sec": round(n / t_low, 1),

@@ -47,6 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hot-bucket star-edge cap; 0 disables (exact all-pairs)")
     p.add_argument("--keep", action="store_true",
                    help="also write the deduplicated corpus (input minus non-representatives)")
+    p.add_argument("--embeddings", default=None,
+                   help="optional embeddings parquet (vec_id, embedding) — adds "
+                        "pruned-IVF ANN recall@k telemetry to the summary "
+                        "(similarity.ivf_recall on a query sample)")
+    p.add_argument("--ann-dim", type=int, default=64)
+    p.add_argument("--ann-k", type=int, default=3)
+    p.add_argument("--ann-probe", type=int, default=4)
+    p.add_argument("--ann-clusters", type=int, default=16)
+    p.add_argument("--ann-queries", type=int, default=20,
+                   help="query-sample size for the recall probe")
     p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     return p
 
@@ -93,8 +103,24 @@ def main(argv: list[str] | None = None) -> None:
             kept = imgs.join(losers, args.id_col, "left_anti")
             kept.write.mode("overwrite").parquet(f"{args.output}/kept")
             n_kept = spark.read.parquet(f"{args.output}/kept").count()
+        ann_recall = None
+        if args.embeddings:
+            from pyspark.sql import functions as F2  # noqa: F401
+
+            from mapsplit_spark.operators.similarity import ivf_recall
+
+            emb = spark.read.parquet(args.embeddings)
+            corpus = emb.select(F.col("vec_id").alias("cid"),
+                                F.col("embedding").alias("c_vec"))
+            qs = emb.orderBy("vec_id").limit(args.ann_queries).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("q_vec"))
+            ann_recall = ivf_recall(
+                qs, corpus, args.ann_dim, k=args.ann_k,
+                n_clusters=args.ann_clusters, n_probe=args.ann_probe,
+            )
         m = obs.get if obs is not None else {}
         print(json.dumps({
+            "ann_recall": ann_recall,
             "bands": bands,
             "pairs": pairs.count(),
             "dup_members": comp.count(),

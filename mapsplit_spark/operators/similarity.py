@@ -253,6 +253,28 @@ def ivf_topk_bucketed(queries: DataFrame, corpus_path: str,
     return _probe_rerank(qb, cb, dim, k, id_q, id_c, vec_q, vec_c)
 
 
+def ivf_recall(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
+               n_clusters: int = 16, n_probe: int = 4,
+               sample_rows: int = 2000,
+               id_q: str = "qid", id_c: str = "cid",
+               vec_q: str = "q_vec", vec_c: str = "c_vec") -> float:
+    """Measured recall@k of the PRUNED IVF probe against the exact
+    brute-force top-k on the same (query, corpus) pair — the in-flight
+    telemetry companion to ``ivf_topk`` (VERDICT r3 #9: pruning quality
+    should be a reported number, not an assumption).  Run it on a small
+    query sample; the corpus side is the same relation the real probe
+    reads."""
+    exact = cosine_topk(queries, corpus, dim, k, id_q, id_c, vec_q, vec_c) \
+        .select(id_q, id_c)
+    pruned = ivf_topk(queries, corpus, dim, k, n_clusters, n_probe,
+                      sample_rows, id_q, id_c, vec_q, vec_c).select(id_q, id_c)
+    n_exact = exact.count()
+    if n_exact == 0:
+        return 1.0
+    n_hit = exact.join(pruned, [id_q, id_c], "left_semi").count()
+    return round(n_hit / n_exact, 4)
+
+
 def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 3,
                     n_bits: int = 12, id_q: str = "qid", id_c: str = "cid",
                     vec_q: str = "q_vec", vec_c: str = "c_vec") -> DataFrame:

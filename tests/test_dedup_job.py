@@ -52,3 +52,29 @@ def test_dedup_job_e2e(spark, dup_images, tmp_path_factory, capsys):
     pairs = spark.read.parquet(os.path.join(out, "pairs"))
     zero = pairs.filter("hamming = 0").count()
     assert zero >= 10
+
+
+def test_dedup_job_auto_bands_and_ann_recall(spark, images_dir, tmp_path, capsys):
+    """Default --bands 0 self-sizes (reported in the summary) and
+    --embeddings adds pruned-IVF recall telemetry (a number in [0, 1])."""
+    import json
+    import os
+
+    from jobs.dedup_job import main as dedup_main
+
+    out = str(tmp_path / "auto")
+    dedup_main([
+        "--input", f"{images_dir}/images.parquet",
+        "--output", out,
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--ann-queries", "10", "--ann-probe", "16", "--ann-clusters", "16",
+        "--cores", "8",
+    ])
+    summary = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                          if ln.startswith("{")][-1])
+    assert summary["bands"] == 4  # 200-row fixture → radius+1
+    assert summary["ann_recall"] is not None
+    assert 0.0 <= summary["ann_recall"] <= 1.0
+    # full-probe recall on this fixture is exact
+    assert summary["ann_recall"] == 1.0
+    assert os.path.exists(os.path.join(out, "pairs"))

@@ -172,3 +172,89 @@ def test_continuous_trigger_picks_up_late_files(spark, dirs):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def test_streaming_hamming_dedup_matches_batch_across_batches(spark, tmp_path):
+    """Streaming pHash near-dup (r4): file-per-trigger micro-batches —
+    pairs planted WITHIN batch 1, WITHIN batch 2, and ACROSS the two
+    (cross-batch recall = the bucket state persisting between triggers).
+    The distinct emitted pair set must equal the batch operator on the
+    unioned corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+    from mapsplit_spark.streaming.dedup_stream import streaming_hamming_dedup
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    b1 = [(1, 0x1234_5678_9ABC_DEF0), (2, 0x1234_5678_9ABC_DEF1),  # d=1 in-batch
+          (3, 0x0F0F_0F0F_0F0F_0F0F), (4, -0x7AAA_BBBB_CCCC_DDDD)]
+    b2 = [(5, 0x1234_5678_9ABC_DEF3),   # d=2 vs id1, d=1 vs id2 — CROSS batch
+          (6, 0x0F0F_0F0F_0F0F_0F07),   # d=1 vs id3 — cross batch
+          (7, -0x7AAA_BBBB_CCCC_DDDE),  # near id4 (sign-bit territory)
+          (8, 0x5555_0000_AAAA_FFFF)]
+    schema = "image_id long, phash long"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{in_dir}/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{in_dir}/b2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{in_dir}/*"))
+    pairs = streaming_hamming_dedup(stream, radius=3, n_bands=4)
+    q = (pairs.writeStream.format("memory").queryName("sdedup")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.awaitTermination(120)
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in spark.table("sdedup").distinct().collect()}
+
+    batch = hamming_near_dups(
+        spark.createDataFrame(b1 + b2, schema), radius=3, n_bands=4,
+        max_bucket=None,
+    )
+    want = {(r.id_a, r.id_b, r.hamming) for r in batch.collect()}
+    assert got == want
+    # the planted cross-batch pairs specifically arrived
+    assert (1, 5, 2) in got and (3, 6, 1) in got
+
+
+def test_streaming_hamming_dedup_cap_keeps_flood_connected(spark, tmp_path):
+    """A flood of exact duplicates with a tiny cap: state stays bounded
+    (hub-only verification past the cap) while every member remains
+    connected to the hub — the streaming twin of the batch star cap."""
+    import os
+
+    from mapsplit_spark.streaming.dedup_stream import streaming_hamming_dedup
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    rows = [(i, 0x00DE_AD00_BEEF_0000) for i in range(12)]
+    spark.createDataFrame(rows, "image_id long, phash long") \
+        .coalesce(1).write.parquet(f"{in_dir}/b1")
+    stream = (spark.readStream.schema("image_id long, phash long")
+              .parquet(f"{in_dir}/*"))
+    pairs = streaming_hamming_dedup(stream, radius=3, n_bands=4, max_bucket=2)
+    q = (pairs.writeStream.format("memory").queryName("sflood")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.awaitTermination(120)
+    got = {(r.id_a, r.id_b) for r in spark.table("sflood").distinct().collect()}
+    # every member reachable from hub 0 (union-find over emitted pairs)
+    parent = {v: v for p in got for v in p}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    roots = {find(v) for v in range(12)}
+    assert len(roots) == 1
+    # bounded: far fewer than the 66 all-pairs edges
+    assert len(got) < 30
