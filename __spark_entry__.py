@@ -583,6 +583,22 @@ def q_modified_tiles_sessions(spark, sf_dir):
     return group_tiles.join(closed, "element_id", "left_semi")
 
 
+PYRAMID_MIN_ZOOM = 9  # 5 pyramid levels in the gate (13 → 9)
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Pyramid rollup (engine addition, r4): per-tile DISTINCT-element
+    counts at every zoom in [9, 13] from the bordered base assignment —
+    one map-side level fan-out + one dedupe + one aggregation (two
+    shuffles at any depth); oracle = per-level FLOOR-division GROUP BYs
+    unioned (portable integer arithmetic)."""
+    from mapsplit_spark.operators.pyramid import pyramid_counts
+
+    return pyramid_counts(
+        _event_pairs(spark, sf_dir), ZOOM, PYRAMID_MIN_ZOOM, assume_distinct=True
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     """Token counting (training-data op)."""
     return textstats.token_stats(_t(spark, sf_dir, "documents"))
@@ -762,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_manifest": q_tile_manifest,
         "modified_tiles": q_modified_tiles,
         "modified_tiles_sessions": q_modified_tiles_sessions,
+        "tile_pyramid": q_tile_pyramid,
         "latest_ts": q_latest_ts,
         "bounds_union": q_bounds_union,
         "session_tiles": q_session_tiles,
@@ -1165,6 +1182,16 @@ FROM events
 """,
         "session_tiles": _oracle_session_cte() + "SELECT way_id, tile_x, tile_y FROM wt",
         "modified_tiles_sessions": _modified_tiles_sessions_oracle(),
+        "tile_pyramid": f"""
+WITH nodes AS ({nodes})
+""" + "\nUNION ALL\n".join(
+            f"""SELECT {ZOOM - d} AS zoom,
+       CAST(FLOOR(tile_x / {float(1 << d)!r}) AS BIGINT) AS tile_x,
+       CAST(FLOOR(tile_y / {float(1 << d)!r}) AS BIGINT) AS tile_y,
+       count(DISTINCT element_id) AS n
+FROM nodes GROUP BY 1, 2, 3"""
+            for d in range(ZOOM - PYRAMID_MIN_ZOOM + 1)
+        ),
         "clip_ring": _clip_ring_oracle(),
         "relation_tiles": _relation_cte() + """
 SELECT DISTINCT element_id, tile_x, tile_y FROM (

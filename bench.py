@@ -48,6 +48,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         # the single-partition BNLJ output); the production near-dup
         # paths (lsh/phash/ann) are in the suite
         "modified_tiles_sessions",  # r4: watermark + transitive closure
+        "tile_pyramid",         # r4: multi-level rollup, two shuffles at any depth
         "tile_assign_border",
         "tile_counts",
         "session_tiles",

@@ -345,3 +345,39 @@ def test_winnow_fast_differential_and_guarantee(spark):
     # (c) same construction shape as the md5 gate variant
     md5_nfp = {r.doc_id: r.n_fp for r in winnow_fingerprints(docs, k, w).collect()}
     assert set(md5_nfp) == set(got)
+
+
+def test_pyramid_counts_properties_and_plan(spark):
+    """Pyramid rollup (r4): level base_zoom ≡ tile_counts on distinct
+    pairs; parent n bounded by [max child n, Σ child n] (distinct
+    elements collapse across children); multi-child convergence counts
+    an element once; TWO exchanges at any depth (map-side fan-out)."""
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.pyramid import pyramid_counts
+    from mapsplit_spark.sinks.manifests import tile_counts
+
+    # element 1 occupies two SIBLING children of parent (1, 1) at z2 —
+    # must count once there; element 2 overlaps one of them
+    rows = [(1, 2, 2), (1, 3, 2), (2, 3, 2), (3, 0, 0), (1, 2, 2)]  # + dup pair
+    df = spark.createDataFrame(rows, "element_id long, tile_x long, tile_y long")
+    out = pyramid_counts(df, base_zoom=3, min_zoom=0)
+    by = {(r.zoom, r.tile_x, r.tile_y): r.n for r in out.collect()}
+
+    base = {(r.tile_x, r.tile_y): r.n
+            for r in tile_counts(df.dropDuplicates()).collect()}
+    assert {(x, y): n for (z, x, y), n in by.items() if z == 3} == base
+    assert by[(2, 1, 1)] == 2          # elements 1 (once!) and 2
+    assert by[(1, 0, 0)] == 3          # {1, 2} converged + 3 from (0,0)
+    assert by[(0, 0, 0)] == 3          # whole world: {1, 2, 3}
+    for (z, x, y), n in by.items():
+        if z == 3:
+            continue
+        child_ns = [m for (cz, cx, cy), m in by.items()
+                    if cz == z + 1 and cx >> 1 == x and cy >> 1 == y]
+        assert max(child_ns) <= n <= sum(child_ns)
+
+    plan = pyramid_counts(df, base_zoom=13, min_zoom=5, assume_distinct=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2  # ancestor dedupe + final agg, depth-free
+    assert "EvalPython" not in plan and "Join" not in plan
