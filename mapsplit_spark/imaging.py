@@ -78,3 +78,30 @@ def phash64(pixels: np.ndarray) -> int:
     for b in bits:
         v = (v << 1) | int(b)
     return v - (1 << 64) if v >= (1 << 63) else v  # signed int64
+
+
+VMAGIC = b"MVID"  # fake video container: concatenated MSIM frames
+
+
+def encode_video(frames: list, fmt: str = "png") -> bytes:
+    """Deterministic stub VIDEO container (the moving-picture twin of
+    MSIM — no ffmpeg/libav in this container): magic + frame count +
+    length-prefixed MSIM frames.  Swap for a real demuxer on a real
+    cluster; every operator signature stays identical."""
+    blobs = [encode_image(f, fmt) for f in frames]
+    head = VMAGIC + struct.pack("<I", len(blobs))
+    return head + b"".join(struct.pack("<I", len(b)) + b for b in blobs)
+
+
+def decode_video(data: bytes) -> list:
+    if data[:4] != VMAGIC:
+        raise NotImplementedError(
+            "real video demuxers (ffmpeg/libav) unavailable; expected MVID stub container")
+    (n,) = struct.unpack("<I", data[4:8])
+    frames, off = [], 8
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[off:off + 4])
+        off += 4
+        frames.append(decode_image(data[off:off + ln]))
+        off += ln
+    return frames

@@ -95,3 +95,59 @@ def test_pipeline_resume_identical(spark, images_dir):
     pipe3 = TilingPipeline(spark, WORK, zoom=12, border=0.1)
     m3 = pipe3.run(src)
     assert {r.zoom for r in m3.select("zoom").distinct().collect()} == {12}
+
+
+def test_video_frame_sampling_roundtrip(spark):
+    """sample_frames (r4): MVID stub container → every-n-th frame as an
+    MSIM image row; decoded frames bit-equal the originals and compose
+    with the image feature operator."""
+    from mapsplit_spark import imaging
+    from mapsplit_spark.operators.multimodal import decode_features, sample_frames
+
+    vids = []
+    for v in range(3):
+        frames = [imaging.synth_pixels(v * 100 + i, 12, 8) for i in range(7)]
+        vids.append((f"v{v}", imaging.encode_video(frames), len(frames)))
+    df = spark.createDataFrame(vids, "video_id string, bytes binary, n_frames int")
+    out = sample_frames(df, every_n=3).collect()
+    # 7 frames, every 3rd → indices 0, 3, 6 per video
+    assert sorted((r.video_id, r.frame_idx) for r in out) == sorted(
+        (f"v{v}", i) for v in range(3) for i in (0, 3, 6))
+    for r in out:
+        v = int(r.video_id[1:])
+        expect = imaging.synth_pixels(v * 100 + r.frame_idx, 12, 8)
+        assert (imaging.decode_image(bytes(r.bytes)) == expect).all()
+        assert (r.w, r.h) == (12, 8)
+    # composes with the image pipeline: frame rows are image rows
+    feats = decode_features(
+        sample_frames(df, every_n=3)
+        .withColumnRenamed("video_id", "image_id")
+    )
+    assert feats.count() == 9
+
+
+def test_audio_features_match_numpy(spark):
+    """audio_features (r4): int16-PCM interpretation — features equal an
+    independent per-row numpy recomputation."""
+    import numpy as np
+
+    from mapsplit_spark.operators.multimodal import audio_features
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for a in range(4):
+        x = (rng.standard_normal(1600) * (1000 * (a + 1))).astype("<i2")
+        rows.append((f"a{a}", x.tobytes()))
+    rows.append(("empty", b""))
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = {r.audio_id: r for r in audio_features(df).collect()}
+    assert got["empty"].n_samples == 0 and got["empty"].rms == 0.0
+    for aid, blob in rows[:-1]:
+        x = np.frombuffer(blob, dtype="<i2").astype(np.float64)
+        r = got[aid]
+        assert r.n_samples == 1600
+        assert abs(r.rms - float(np.sqrt(np.mean(x ** 2)))) < 1e-3
+        assert r.peak == round(float(np.abs(x).max()), 1)
+        zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        assert abs(r.zero_cross_rate - zc / 1599) < 1e-6
+        assert abs(r.duration_sec - 0.1) < 1e-9
