@@ -49,6 +49,10 @@ NID = f"({LI_KEY} % 12000)"  # some ids miss the events table → drop semantics
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensive reset: q_emb_near_dup leaves wholeStage=false as a
+    # deliberate per-gate hint (see its docstring); every gate callable
+    # reads a table first, so the next gate always restores the default
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -683,13 +687,23 @@ def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (training-data dedup op) —
     brute-force verification path; the LSH/IVF candidate generation is
     the pytest-verified scale path.  Codegen-safe form (r4): norms
-    precomputed per SIDE, ONE unrolled dot per pair — the previous
-    3-dot-per-pair expression blew janino's 64 KB limit and ran
-    interpreted (VERDICT r3 #1); numerics are identical to the
-    oracle's unrolled text."""
+    precomputed per SIDE, ONE dot per pair (HOF at dim 64 since r5's
+    UNROLL_MAX_DIM=32); numerics are identical to the oracle's
+    unrolled text.
+
+    r5 (VERDICT r4 trivia): this labeled n² BNLJ gate runs with
+    ``spark.sql.codegen.wholeStage=false`` — the interleaved A/B
+    (tools/ab_dot_pair.py) measured 12.7 s vs 23.4 s (HOF) vs 40.5 s
+    (unrolled) for this one shape, because BNLJ-condition evaluation
+    of a big expression never JITs inside one whole-stage method.  The
+    conf is left set when this callable returns (the collect happens
+    driver-side after); every other gate restores the default via
+    ``_t``.  Production similarity paths (LSH/IVF/windowed top-k) keep
+    whole-stage codegen."""
     from mapsplit_spark.operators.similarity import dot_pair, norm_col
 
     emb = _t(spark, sf_dir, "embeddings")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
                    norm_col(F.col("embedding")).alias("_na"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),

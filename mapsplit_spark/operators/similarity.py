@@ -14,14 +14,24 @@ method limit, so Spark silently fell back to INTERPRETED evaluation of
 exactly the hot path every IVF/kNN probe re-ranks on.  The fixed shape:
 
 * norms are computed once per SIDE before the join (n rows, not n²);
-* the n² pair stream evaluates ONE dot — unrolled text (whole-stage
-  codegen, measured 13.8 → 7-8 s on the sf0.1 all-pairs near-dup) for
-  dims up to ``UNROLL_MAX_DIM``, where a single dot provably fits the
-  method limit even with Catalyst's filter duplication;
-* above that, ``dot_col`` — one compact higher-order-function
-  expression (``F.aggregate(F.zip_with(...))``): slower per pair than
-  a codegen'd unrolled dot (array allocation per pair) but immune to
-  expression-size limits at any dim.
+* the n² pair stream evaluates ONE dot — unrolled text for dims up to
+  ``UNROLL_MAX_DIM``, ``dot_col`` (one compact higher-order-function
+  expression, ``F.aggregate(F.zip_with(...))``) above.
+
+Round-5 boundary (settles VERDICT r4's "contradictory measurements"
+finding — the r4 comment here claiming "13.8 → 7-8 s" for the dim-64
+unrolled form was WRONG; BASELINE's 35-37 s matrix row was right):
+one interleaved same-session A/B (``tools/ab_dot_pair.py``, sf0.1
+all-pairs near-dup shape, median of 3):
+
+  dim 64: unrolled 40.5 s · HOF 23.4 s · unrolled+wholeStage-off 12.7 s
+  dim 32: unrolled 0.61 s · HOF 1.15 s   (sub-second, ~noise)
+  dim 16: unrolled 0.80 s · HOF 1.06 s   (sub-second, ~noise)
+
+At dim 64 the unrolled whole-stage method lands in HotSpot's
+8-64 KB compile-but-never-JIT window (the r4 BASELINE "Codegen vs the
+JIT" mechanism) and runs ~2× slower than HOF; at ≤32 dims it stays
+JIT-able and is marginally ahead.  Hence ``UNROLL_MAX_DIM = 32``.
 
 Both forms fold left-to-right with per-element double casts — the same
 float64 tree as the unrolled ``sqlgen.dot_sql`` text the DuckDB
@@ -41,11 +51,11 @@ from pyspark.sql.window import Window
 
 from .. import sqlgen
 
-# one unrolled dot ≈ dim × ~25 B of method bytecode; the pair stage
-# carries ≤ 2 copies (project + pushed filter) — 128 dims stays well
-# under janino's 65 536-byte method limit (the r3 failure was SIX
-# 64-dim copies in one stage)
-UNROLL_MAX_DIM = 128
+# boundary is the HotSpot JIT window, not janino's 64 KB compile limit:
+# at dim 64 the unrolled pair stage compiles but never JITs (8-64 KB
+# window) and loses 2× to the HOF form; at ≤32 it JITs and wins
+# marginally — measured, see module docstring + tools/ab_dot_pair.py
+UNROLL_MAX_DIM = 32
 
 
 def dot_col(a: Column, b: Column) -> Column:

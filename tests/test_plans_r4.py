@@ -48,14 +48,26 @@ def _codegen_stats(df) -> list[int]:
     return [seq.apply(i)._3().maxMethodCodeSize() for i in range(seq.size())]
 
 
-def _assert_all_compile(df, need_subtrees: int = 1) -> None:
+#: HotSpot -XX:-DontCompileHugeMethods threshold: a janino-compiled
+#: whole-stage method at or above this many bytecode bytes never JITs
+#: and runs in the bytecode interpreter ~3× slower (measured, BASELINE
+#: r4 "Codegen vs the JIT") — the r5 pin bans the 8 000-65 535 window
+#: the r4 `< 65536` assertion silently allowed (VERDICT r4 #1a).
+JIT_WINDOW = 8000
+
+
+def _assert_all_compile(df, need_subtrees: int = 1,
+                        max_size: int = JIT_WINDOW) -> None:
     sizes = _codegen_stats(df)
     assert len(sizes) >= need_subtrees, f"no codegen subtrees found: {sizes}"
     assert all(s != -1 for s in sizes), (
         f"a WholeStageCodegen subtree failed to compile (janino 64 KB "
         f"fallback regression): {sizes}"
     )
-    assert all(s < 65536 for s in sizes)
+    assert all(s < max_size for s in sizes), (
+        f"a WholeStageCodegen method is in/over the HotSpot never-JIT "
+        f"window (≥ {max_size} B): {sizes}"
+    )
 
 
 def _vectors(spark, n: int, id_name: str, vec_name: str):
@@ -68,14 +80,66 @@ def _vectors(spark, n: int, id_name: str, vec_name: str):
     )
 
 
-def test_emb_near_dup_gate_plan_compiles(spark, no_aqe):
-    """The exact plan shape that failed in round 3 (dim-64 driver
-    fixture, pair filter duplicating the cosine) must now compile in
-    every subtree."""
+def test_emb_near_dup_gate_uses_wholestage_off_hint(spark, no_aqe):
+    """r5: the labeled n² BNLJ gate deliberately runs with whole-stage
+    codegen OFF (measured 12.7 s vs 23.4/40.5 s for the codegen forms —
+    tools/ab_dot_pair.py); the callable sets the session conf and the
+    plan must therefore contain NO WholeStageCodegen subtree.  _t()
+    restores the default for every other gate."""
     import __spark_entry__ as entry
 
-    df = entry.q_emb_near_dup(spark, "/root/testdata/sf0.001")
+    try:
+        df = entry.q_emb_near_dup(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+        assert _codegen_stats(df) == []
+        # the hint changes the physical form only: results still match
+        # the oracle (the emb_near_dup driver gate + check_gate sweep)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+
+
+def test_emb_near_dup_shape_compiles_with_codegen_on(spark, no_aqe):
+    """The r3 regression guard the gate test used to carry: the same
+    side-norms + one-dot-per-pair shape WITH codegen on must compile in
+    every subtree (no janino fallback), under the r5 JIT-window bound.
+    At dim 64 dot_pair takes the HOF branch (UNROLL_MAX_DIM=32)."""
+    from mapsplit_spark.operators.similarity import dot_pair, norm_col
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                   norm_col(F.col("embedding")).alias("_na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                   norm_col(F.col("embedding")).alias("_nb"))
+    cos = dot_pair("va", "vb", 64) / (F.col("_na") * F.col("_nb"))
+    df = (a.join(b, F.col("id_a") < F.col("id_b"))
+          .withColumn("cos_sim", F.round(cos, 6))
+          .filter(F.col("cos_sim") >= 0.35)
+          .select("id_a", "id_b", "cos_sim"))
     _assert_all_compile(df, need_subtrees=2)
+
+
+def test_production_rerank_plans_stay_under_jit_window(spark, no_aqe):
+    """VERDICT r4 #1a: the production cosine/IVF/LSH re-rank plans at
+    the production dim (64, parquet-sourced vectors) must keep EVERY
+    whole-stage method strictly below HotSpot's 8 000-byte never-JIT
+    threshold — not merely below janino's 64 KB compile limit.
+    Measured r5: all subtrees < 1 KB."""
+    from mapsplit_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(5).select(F.col("vec_id").alias("qid"),
+                            F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("c_vec"))
+    _assert_all_compile(cosine_topk(q, c, 64, k=3), max_size=JIT_WINDOW)
+    _assert_all_compile(
+        ivf_topk(q, c, 64, k=3, n_clusters=4, n_probe=2, sample_rows=100),
+        max_size=JIT_WINDOW)
+    _assert_all_compile(lsh_bucket_topk(q, c, 64, k=3, n_bits=8),
+                        max_size=JIT_WINDOW)
 
 
 def test_cosine_topk_plan_compiles(spark, no_aqe):

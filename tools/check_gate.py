@@ -35,7 +35,7 @@ def _norm(v):
     return str(v)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     # the tile_merge oracle embeds a remap computed from the SAME dir
     # the Spark queries run on — point it at ours before building oracles
     os.environ["SPARK_GRAFT_CORRECTNESS_DIR"] = sf_dir
@@ -54,6 +54,8 @@ def main(sf_dir: str):
     oracles = entry.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -98,4 +100,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         sys.argv[2:] or None)
