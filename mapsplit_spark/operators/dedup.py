@@ -139,10 +139,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     heterogeneous templated corpora), members not similar to the
     bucket's min-id hub lose their pairs unless another (≤cap) band
     catches them.  Pass a ``pyspark.sql.Observation`` as ``observation``
-    to measure this in-flight: after the first action it reports
-    ``n_hot_buckets`` / ``max_bucket_size`` / ``n_star_docs`` at zero
-    extra cost (piggybacks the bucket groupBy); alert on
-    ``n_hot_buckets > 0``.  The full histogram is ``bucket_sizes()``.
+    to measure this: it reports ``n_hot_buckets`` / ``max_bucket_size``
+    / ``n_star_docs``; alert on ``n_hot_buckets > 0``.  COST (since the
+    r4 single-exchange shape): the metrics come from a separate
+    bucket-size aggregate job fired eagerly AT CALL TIME — one extra
+    scan + shuffle of the banded relation, paid even if the pairs are
+    never consumed.  Pass it per run where wanted, not habitually.
+    The full histogram is ``bucket_sizes()``.
 
     ``materialize_banded`` predates the single-shuffle candidate stage,
     when the banded relation fed three consumers (bucket stats + both
@@ -200,7 +203,11 @@ def _capped_bucket_pairs(banded: DataFrame, id_col: str, bucket_cols: list,
     max_bucket_size / n_star_docs via a separate small bucket-size
     aggregate job fired eagerly at call time (exactly-once metrics; an
     observe node inside the dual-consumer pair plan would double-count
-    under the shared exchange)."""
+    under the shared exchange).  COST: that eager job is a full extra
+    scan + shuffle of the banded relation, and it runs even if the
+    caller never consumes the returned pairs — pass ``observation``
+    only per run where the telemetry is wanted (the callers'
+    docstrings carry the same warning)."""
     payload_fields = [F.col(id_col).alias("i")]
     if carry is not None:
         payload_fields.append(F.col(carry).alias("c"))
@@ -451,7 +458,9 @@ def hamming_near_dups(df: DataFrame, id_col: str = "image_id",
     duplication should run ``exact_dup_groups`` first (or rely on
     ``max_bucket``: same star-edge degradation + Observation reporting
     as ``lsh_candidate_pairs`` — connectivity preserved, all-pairs
-    recall within a >cap bucket is not guaranteed).
+    recall within a >cap bucket is not guaranteed; the Observation
+    metrics are an eagerly-fired extra scan+shuffle of the banded
+    relation — see ``_capped_bucket_pairs``).
 
     → (id_a, id_b, hamming) with id_a < id_b and hamming ≤ radius.
     Raises if ``radius > n_bands − 1`` (the pigeonhole guarantee needs

@@ -171,7 +171,12 @@ def audio_features(audio: DataFrame, id_col: str = "audio_id",
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                x = np.frombuffer(bytes(r.bytes), dtype="<i2").astype(np.float64)
+                buf = bytes(r.bytes)
+                # odd-length payload: truncate the trailing byte instead
+                # of letting frombuffer fail the whole task on one
+                # malformed blob (degrade per row, like the n==0 path)
+                x = np.frombuffer(buf[: len(buf) // 2 * 2],
+                                  dtype="<i2").astype(np.float64)
                 n = len(x)
                 if n == 0:
                     rows.append((getattr(r, id_col), 0, 0.0, 0.0, 0.0, 0.0))

@@ -162,6 +162,18 @@ def export_mbtiles_sharded(manifests: DataFrame, out_dir: str, zoom: int,
         "shard", F.pmod(F.xxhash64("tile_column", "tile_row"), F.lit(n_shards))
     )
     os.makedirs(out_dir, exist_ok=True)
+    # driver-side, before any task runs: sweep tmp leftovers from
+    # KILLED/zombie attempts of previous runs — a dead attempt's
+    # `shard-*.mbtiles.tmp.attemptN` is never cleaned by its own
+    # publish (only the same attempt pre-removes its own path), so
+    # without this the directory accretes garbage forever
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "shard-*.mbtiles.tmp*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass  # a concurrent export owns it; leave it
     fmt, date_ms = FORMAT, latest_date_ms  # close over plain values only
 
     def write_partition(it) -> None:

@@ -50,7 +50,14 @@ def write_tiles_zorder(df: DataFrame, out_path: str, n_files: int = 64,
         (F.col(x_col) >= 0) & (F.col(x_col) < lim)
         & (F.col(y_col) >= 0) & (F.col(y_col) < lim)
     )
+    # NULL coords need their own arm: they fall through to otherwise(),
+    # where concat() would be NULL too — an abort with a NULL message
     guarded_morton = F.when(
+        F.col(x_col).isNull() | F.col(y_col).isNull(),
+        F.raise_error(F.lit(
+            "write_tiles_zorder: NULL tile coord — drop or fill null "
+            "tile rows before the Z-order sink")).cast("long"),
+    ).when(
         in_domain, morton_col(F.col(x_col), F.col(y_col))
     ).otherwise(F.raise_error(F.concat(
         F.lit("write_tiles_zorder: tile coord ("),

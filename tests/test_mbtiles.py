@@ -112,7 +112,14 @@ def test_sharded_export_union_equals_single_file(spark, pairs, tmp_path):
     conn.close()
 
     out_dir = str(tmp_path / "shards")
+    # ADVICE r4: a killed attempt's temp file from a PREVIOUS run must
+    # be swept at job start (its own attempt can never clean it)
+    os.makedirs(out_dir, exist_ok=True)
+    stale = os.path.join(out_dir, "shard-00001.mbtiles.tmp.attempt99")
+    open(stale, "wb").write(b"zombie")
     export_mbtiles_sharded(man, out_dir, ZOOM, n_shards=4, latest_date_ms=123)
+    assert not os.path.exists(stale), "stale attempt tmp not swept"
+    assert not glob.glob(os.path.join(out_dir, "*.tmp*"))
     files = sorted(glob.glob(os.path.join(out_dir, "shard-*.mbtiles")))
     assert len(files) > 1, "fixture must actually spread across shards"
     got = set()

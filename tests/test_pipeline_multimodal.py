@@ -139,9 +139,15 @@ def test_audio_features_match_numpy(spark):
         x = (rng.standard_normal(1600) * (1000 * (a + 1))).astype("<i2")
         rows.append((f"a{a}", x.tobytes()))
     rows.append(("empty", b""))
+    # ADVICE r4: odd-length payload must degrade per row (truncate the
+    # trailing byte), not ValueError the whole task on one bad blob
+    rows.append(("odd", b"\x01\x02\x03"))
     df = spark.createDataFrame(rows, "audio_id string, bytes binary")
     got = {r.audio_id: r for r in audio_features(df).collect()}
     assert got["empty"].n_samples == 0 and got["empty"].rms == 0.0
+    assert got["odd"].n_samples == 1  # 3 bytes → one int16 sample
+    rows = rows[:-1]  # drop "odd" so the recompute loop below still
+    #                   iterates exactly the 4 real audio rows
     for aid, blob in rows[:-1]:
         x = np.frombuffer(blob, dtype="<i2").astype(np.float64)
         r = got[aid]

@@ -121,3 +121,18 @@ def test_write_raises_outside_morton_domain(spark, tmp_path):
     )
     with pytest.raises(Exception, match="morton domain"):
         write_tiles_zorder(df, str(tmp_path / "zo"), n_files=2)
+
+
+def test_write_raises_on_null_coord_with_literal_message(spark, tmp_path):
+    """ADVICE r4: NULL coords fell through to the out-of-domain arm,
+    where concat(NULL) made raise_error abort with a NULL message —
+    nulls need their own arm with a self-explanatory literal."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("point_id"),
+        F.when(F.col("id") == 2, None).otherwise(F.col("id")).alias("tile_x"),
+        F.lit(5).alias("tile_y"),
+    )
+    with pytest.raises(Exception, match="NULL tile coord"):
+        write_tiles_zorder(df, str(tmp_path / "zo"), n_files=2)
