@@ -57,6 +57,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ann-clusters", type=int, default=16)
     p.add_argument("--ann-queries", type=int, default=20,
                    help="query-sample size for the recall probe")
+    p.add_argument("--videos", default=None, metavar="VIDEOS_PARQUET",
+                   help="videos parquet (video_id, bytes) — runs the "
+                        "frame-sample → per-frame pHash → near-dup chain "
+                        "(multimodal.sample_frames → frame_phashes → "
+                        "hamming_near_dups); writes <output>/frame_hashes "
+                        "and <output>/frame_pairs")
+    p.add_argument("--frame-every", type=int, default=10,
+                   help="sample every n-th frame for --videos")
+    p.add_argument("--winnow", default=None, metavar="DOCS_PARQUET",
+                   help="documents parquet (doc_id, text) — production "
+                        "winnowing fingerprints (xxhash64 longs, "
+                        "textstats.winnow_fingerprints_fast); writes "
+                        "<output>/winnow and <output>/winnow_dups (groups "
+                        "of docs with identical fingerprint sets)")
+    p.add_argument("--winnow-k", type=int, default=5,
+                   help="winnowing k-gram size")
+    p.add_argument("--winnow-w", type=int, default=4,
+                   help="winnowing window size")
     p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     return p
 
@@ -118,10 +136,61 @@ def main(argv: list[str] | None = None) -> None:
                 qs, corpus, args.ann_dim, k=args.ann_k,
                 n_clusters=args.ann_clusters, n_probe=args.ann_probe,
             )
+        n_frame_pairs = n_frames = None
+        if args.videos:
+            from mapsplit_spark.operators.multimodal import (
+                frame_phashes,
+                sample_frames,
+            )
+
+            vids = spark.read.parquet(args.videos)
+            fh = frame_phashes(sample_frames(vids, every_n=args.frame_every))
+            fh.write.mode("overwrite").parquet(f"{args.output}/frame_hashes")
+            fh = spark.read.parquet(f"{args.output}/frame_hashes")
+            n_frames = fh.count()
+            fbands = args.bands or auto_bands(n_frames, args.radius, args.bits)
+            fpairs = hamming_near_dups(
+                fh.select("frame_id", "phash"), id_col="frame_id",
+                hash_col="phash", radius=args.radius, n_bands=fbands,
+                bits=args.bits, max_bucket=args.max_bucket or None,
+            )
+            fpairs.write.mode("overwrite").parquet(f"{args.output}/frame_pairs")
+            n_frame_pairs = spark.read.parquet(
+                f"{args.output}/frame_pairs").count()
+
+        n_winnow_docs = n_winnow_dup_groups = None
+        if args.winnow:
+            from mapsplit_spark.operators.textstats import (
+                winnow_fingerprints_fast,
+            )
+
+            docs = spark.read.parquet(args.winnow)
+            wf = winnow_fingerprints_fast(docs, k=args.winnow_k,
+                                          w=args.winnow_w)
+            wf.write.mode("overwrite").parquet(f"{args.output}/winnow")
+            wf = spark.read.parquet(f"{args.output}/winnow")
+            n_winnow_docs = wf.count()
+            # identical fingerprint SET = near-verbatim overlap candidate
+            # group; exact_dup_groups shape (no collect_list — a group's
+            # row is O(1) regardless of its size)
+            wdups = (
+                wf.groupBy("fp_hash", "n_fp")
+                .agg(F.count("*").alias("n_docs"),
+                     F.min("doc_id").alias("keep_doc"))
+                .filter(F.col("n_docs") >= 2)
+            )
+            wdups.write.mode("overwrite").parquet(f"{args.output}/winnow_dups")
+            n_winnow_dup_groups = spark.read.parquet(
+                f"{args.output}/winnow_dups").count()
+
         m = obs.get if obs is not None else {}
         print(json.dumps({
             "ann_recall": ann_recall,
             "bands": bands,
+            "n_frames": n_frames,
+            "frame_pairs": n_frame_pairs,
+            "winnow_docs": n_winnow_docs,
+            "winnow_dup_groups": n_winnow_dup_groups,
             "pairs": pairs.count(),
             "dup_members": comp.count(),
             "dup_groups": comp.select("component").distinct().count(),

@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "sorted union of its chunks).  Incompatible with "
                         "--mbtiles/--tile-files, which contractually need one "
                         "row per tile")
+    p.add_argument("--pyramid", type=int, default=None, metavar="MIN_ZOOM",
+                   help="also write the tile-pyramid rollup (zoom, tile_x, "
+                        "tile_y, n) for every level in [MIN_ZOOM, --zoom] "
+                        "under <output>/pyramid (distinct-element counts "
+                        "per ancestor tile; operators/pyramid). Rolls up "
+                        "the full base-zoom assignment — orthogonal to "
+                        "--optimize merging and the --date-file filter")
     p.add_argument("--payload", action="store_true",
                    help="materialize payload columns per tile (join bytes last; "
                         "P4 metadata null check aborts bad inputs)")
@@ -207,6 +214,14 @@ def main(argv=None) -> None:
                                    chunked=args.chunked_manifests)
     manifests.write.mode("overwrite").parquet(os.path.join(args.output, "manifests"))
 
+    if args.pyramid is not None:
+        from mapsplit_spark.operators.pyramid import pyramid_counts
+
+        pyramid_counts(
+            pairs.select("element_id", "tile_x", "tile_y"),
+            args.zoom, args.pyramid,
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "pyramid"))
+
     # A3 latestDate — deterministic metadata + --date-file write-back
     latest_ms = 0
     if args.ts_col in src.columns:
@@ -272,6 +287,8 @@ def main(argv=None) -> None:
         "elements": m.agg(F.sum("n")).collect()[0][0],
         "incremental": appointment_ms is not None,
         "chunked": bool(args.chunked_manifests),
+        "pyramid_levels": (args.zoom - args.pyramid + 1
+                           if args.pyramid is not None else None),
         "latest_date_ms": int(latest_ms),
         "wall_sec": round(time.time() - t0, 2),
     }))

