@@ -149,6 +149,77 @@ def cluster_flagship_time(n_execs: int, cores_per: int, rows: int,
         spark.stop()
 
 
+def capacity_probe_time(cores: int, rows: int) -> float:
+    """Aggregate-throughput capacity probe (VERDICT r4 #6): the same
+    flagship pipeline on plain local[cores] threads — measures what
+    this MACHINE can materialize at a given busy-core count, so a
+    failing scaling ladder self-diagnoses as capacity-censored instead
+    of failing opaquely.  (r4 found the VM saturates ~0.7 M rows/s at
+    ≥8 busy cores in slow windows: 16 cores buy ≤10% over 8.)"""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-capacity-{cores}")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    try:
+        _force(_scaling_pipeline(spark, rows // 20))  # warm JIT/codegen
+        t0 = time.perf_counter()
+        _force(_scaling_pipeline(spark, rows))
+        return time.perf_counter() - t0
+    finally:
+        spark.stop()
+
+
+def _load_prev_round_queries(repo: str) -> tuple[str | None, dict]:
+    """Newest BENCH_r*.json → its per-query seconds, whether the driver
+    managed to parse the JSON line or only captured it inside ``tail``
+    (the r4 truncation this round's own-file emission fixes)."""
+    import glob
+    import re
+
+    paths = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    if not paths:
+        return None, {}
+    path = paths[-1]
+    try:
+        rec = json.load(open(path))
+    except (OSError, json.JSONDecodeError):
+        return path, {}
+    if isinstance(rec, dict):
+        parsed = rec.get("parsed")
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return path, parsed["queries"]
+        if "queries" in rec:
+            return path, rec["queries"]
+        tail = rec.get("tail", "")
+        m = re.search(r'"queries":\s*(\{[^}]*\})', tail)
+        if m:
+            try:
+                return path, json.loads(m.group(1))
+            except json.JSONDecodeError:
+                pass
+    return path, {}
+
+
+def _emit(record: dict) -> None:
+    """One JSON line on stdout (driver contract) AND the same record in
+    its own file — r4's driver tail-capture truncated the line
+    mid-string, leaving BENCH_r04.json unparseable (VERDICT r4 #7);
+    the file survives any stdout mangling."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(repo, "bench_out.json")
+    with open(out_path, "w") as fh:
+        json.dump(record, fh)
+        fh.write("\n")
+    print(json.dumps(record))
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -194,6 +265,44 @@ def main() -> None:
             ).stdout.strip().splitlines()[-1]
             return float(out)
 
+        # capacity probe FIRST (VERDICT r4 #6): what can this machine
+        # materialize at the high level's core count, and does doubling
+        # cores past it buy anything?  Fresh subprocesses, same flagship.
+        high_cores = 4 * n_exec * cores_per
+        probe_rows = max(n // 5, 1_000_000)
+        probe_cores2 = min(2 * high_cores, os.cpu_count() or high_cores)
+
+        def probe_time(cores: int) -> float:
+            code = (
+                "import bench, sys; "
+                f"sys.stdout.write(str(bench.capacity_probe_time({cores}, {probe_rows})))"
+            )
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip().splitlines()[-1]
+            return float(out)
+
+        try:
+            t_pc1, t_pc2 = probe_time(high_cores), probe_time(probe_cores2)
+            ceiling_rps = round(max(probe_rows / t_pc1, probe_rows / t_pc2), 1)
+            probe = {
+                "probe_rows": probe_rows,
+                "cores_a": high_cores, "sec_a": round(t_pc1, 2),
+                "rows_per_sec_a": round(probe_rows / t_pc1, 1),
+                "cores_b": probe_cores2, "sec_b": round(t_pc2, 2),
+                "rows_per_sec_b": round(probe_rows / t_pc2, 1),
+                "ceiling_rows_per_sec": ceiling_rps,
+                # doubling cores past the high level buying <15% means
+                # the machine, not the plan, caps the ladder's high level
+                "saturated": (probe_rows / t_pc2) < 1.15 * (probe_rows / t_pc1),
+            }
+        except subprocess.CalledProcessError as e:
+            # the probe is diagnostics — never let it kill the ladder
+            ceiling_rps = None
+            probe = {"error": (e.stderr or str(e))[-400:]}
+
         lows, highs = [], []
         for _ in range(n_samples):  # strict interleave: low, high, low, ...
             lows.append(level_time(n_exec))
@@ -206,7 +315,12 @@ def main() -> None:
         # alongside, it re-admits cross-round drift
         round_effs = [tl / (4 * th) for tl, th in zip(lows, highs)]
         eff = statistics.median(round_effs)
-        print(json.dumps({
+        # ceiling-aware attainability: if 4× the low level's throughput
+        # exceeds what the capacity probe says this machine sustains,
+        # the shortfall to E=1 is (at least partly) the VM's
+        attainable = (min(1.0, ceiling_rps / (4 * (n / t_low)))
+                      if ceiling_rps else None)
+        _emit({
             "metric": "scaling efficiency (N→4N executors, flagship tile-split)",
             "value": round(eff, 3), "unit": "ratio",
             "protocol": (f"median of {n_samples} per-round-paired ratios, "
@@ -220,8 +334,13 @@ def main() -> None:
             "t_low_sec": round(t_low, 3), "t_high_sec": round(t_high, 3),
             "t_low_samples": [round(t, 2) for t in lows],
             "t_high_samples": [round(t, 2) for t in highs],
+            "capacity_probe": probe,
+            "attainable_eff_at_ceiling": (round(attainable, 3)
+                                          if attainable is not None else None),
+            "capacity_censored": (attainable < 0.8
+                                  if attainable is not None else None),
             "rows": n, "sf": sf,
-        }))
+        })
         return
 
     from mapsplit_spark.session import get_spark
@@ -269,7 +388,22 @@ def main() -> None:
         spark.stop()
     total = round(sum(times.values()), 3)
     flagship = times.get("tile_manifest", total)
-    print(json.dumps({
+    # per-query diff vs the newest BENCH_r*.json (VERDICT r4 #7) — on
+    # stderr-style preamble lines BEFORE the JSON so the driver's tail
+    # capture still ends with the one-line record
+    prev_path, prev_q = _load_prev_round_queries(
+        os.path.dirname(os.path.abspath(__file__)))
+    if prev_q:
+        print(f"[diff] vs {os.path.basename(prev_path)} "
+              f"(> ±30% flagged; this VM's same-code noise is ±27%):")
+        for name, t in times.items():
+            p = prev_q.get(name)
+            if p:
+                delta = (t - p) / p * 100
+                flag = "  <-- CHECK" if abs(delta) > 30 else ""
+                print(f"[diff] {name:24s} {p:8.2f} -> {t:8.2f}  "
+                      f"{delta:+6.1f}%{flag}")
+    _emit({
         "metric": "tile-split pipeline wall time (flagship tile_manifest)",
         "value": flagship,
         "unit": "sec",
@@ -285,7 +419,7 @@ def main() -> None:
         "total_sec": total,
         "result_rows": rows,
         "cores": cpus,
-    }))
+    })
 
 
 if __name__ == "__main__":

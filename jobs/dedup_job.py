@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="winnowing k-gram size")
     p.add_argument("--winnow-w", type=int, default=4,
                    help="winnowing window size")
+    p.add_argument("--audio", default=None, metavar="AUDIO_PARQUET",
+                   help="audio parquet (audio_id, bytes: int16 mono PCM) — "
+                        "writes per-row features (n_samples/duration/rms/"
+                        "peak/zero_cross_rate) to <output>/audio_features "
+                        "(corpus-prep telemetry for filtering before dedup)")
     p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     return p
 
@@ -183,8 +188,18 @@ def main(argv: list[str] | None = None) -> None:
             n_winnow_dup_groups = spark.read.parquet(
                 f"{args.output}/winnow_dups").count()
 
+        n_audio = None
+        if args.audio:
+            from mapsplit_spark.operators.multimodal import audio_features
+
+            af = audio_features(spark.read.parquet(args.audio))
+            af.write.mode("overwrite").parquet(f"{args.output}/audio_features")
+            n_audio = spark.read.parquet(
+                f"{args.output}/audio_features").count()
+
         m = obs.get if obs is not None else {}
         print(json.dumps({
+            "audio_rows": n_audio,
             "ann_recall": ann_recall,
             "bands": bands,
             "n_frames": n_frames,

@@ -16,6 +16,17 @@ foreachBatch upsert` shape SURVEY.md §2.7 maps the date mechanism onto.
 Each output row: (win_start, tile_x, tile_y, n_modified, batch_id) —
 the streaming modifiedTiles set (A4) with counts (A2), consumable by a
 downstream selective re-materialization of hot tiles.
+
+``--mode dedup`` (r5) switches the job to the ONLINE near-dup stream:
+tail a landing zone of (id, phash) rows and emit (id_a, id_b, hamming)
+pairs the moment the later member arrives
+(streaming.dedup_stream.streaming_hamming_dedup, RocksDB-backed state,
+exact pigeonhole recall for radius ≤ bands−1).  Pairs append to
+``--output`` parquet via foreachBatch (a pair colliding in several
+band buckets appears once per bucket — read with dropDuplicates); the
+summary reports distinct pairs + state rows/bytes from the final
+StreamingQueryProgress.  ``--bands`` must be explicit in this mode (a
+stream has no countable size for auto_bands).
 """
 
 from __future__ import annotations
@@ -46,7 +57,68 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timeout-sec", type=float, default=None,
                    help="stop after N seconds (continuous mode; omit to run "
                         "until killed)")
+    p.add_argument("--mode", choices=["counts", "dedup"], default="counts",
+                   help="counts: watermarked per-tile modification counts "
+                        "(default); dedup: online pHash near-dup pair stream")
+    p.add_argument("--hash-col", default="phash")
+    p.add_argument("--radius", type=int, default=3)
+    p.add_argument("--bands", type=int, default=4,
+                   help="pigeonhole band count (dedup mode; explicit — "
+                        "streams cannot auto-size)")
+    p.add_argument("--bits", type=int, default=64)
+    p.add_argument("--max-bucket", type=int, default=1024)
     return p
+
+
+def run_dedup_stream(spark, args):
+    """--mode dedup: landing (id, phash) parquet → near-dup pair stream
+    → append-only parquet pairs + state metrics summary."""
+    import json as _json
+
+    from mapsplit_spark.streaming.dedup_stream import (
+        rocksdb_state_conf,
+        streaming_hamming_dedup,
+    )
+
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    schema = spark.read.parquet(args.input).schema
+    stream = spark.readStream.schema(schema).parquet(args.input)
+    pairs = streaming_hamming_dedup(
+        stream, id_col=args.id_col, hash_col=args.hash_col,
+        radius=args.radius, n_bands=args.bands, bits=args.bits,
+        max_bucket=args.max_bucket,
+    )
+
+    def sink(df, batch_id):  # file sinks can't take update mode directly
+        df.dropDuplicates(["id_a", "id_b"]).write.mode("append") \
+            .parquet(args.output)
+
+    writer = (pairs.writeStream.foreachBatch(sink)
+              .outputMode("update")
+              .option("checkpointLocation", args.checkpoint))
+    if args.once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime=args.interval).start()
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+        q.awaitTermination()
+    state = {}
+    for p in reversed(q.recentProgress):
+        ops = _json.loads(p.json).get("stateOperators", [])
+        if ops:
+            state = {"state_rows": ops[0].get("numRowsTotal"),
+                     "state_bytes": ops[0].get("stateMemory",
+                                               ops[0].get("memoryUsedBytes"))}
+            break
+    try:  # zero emitted pairs → the sink dir may never have been created
+        n_pairs = spark.read.parquet(args.output) \
+            .dropDuplicates(["id_a", "id_b"]).count()
+    except Exception:  # noqa: BLE001 — AnalysisException: path not found
+        n_pairs = 0
+    print(json.dumps({"mode": "dedup", "pairs": n_pairs, **state}))
 
 
 def main(argv=None) -> None:
@@ -58,6 +130,13 @@ def main(argv=None) -> None:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("stream-job")
+    if args.mode == "dedup":
+        try:
+            run_dedup_stream(spark, args)
+        finally:
+            if owns_session:
+                spark.stop()
+        return
     # file streams need an explicit schema: take it from the existing data
     schema = spark.read.parquet(args.input).schema
     q = start_incremental_job(

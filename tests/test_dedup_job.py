@@ -161,3 +161,32 @@ def test_dedup_job_winnow_fast(spark, tmp_path, capsys):
     stored = {r.doc_id: (r.n_fp, r.fp_hash)
               for r in spark.read.parquet(os.path.join(out, "winnow")).collect()}
     assert direct == stored
+
+
+def test_dedup_job_audio_features(spark, tmp_path, capsys):
+    """r5: --audio writes the per-row PCM feature table (CLI
+    reachability for audio_features)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(f"a{k}", (rng.standard_normal(800) * 500).astype("<i2").tobytes())
+            for k in range(5)]
+    ap = str(tmp_path / "audio.parquet")
+    spark.createDataFrame(rows, "audio_id string, bytes binary") \
+        .write.parquet(ap)
+    ip = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame([(f"i{k}", k * 7919) for k in range(8)],
+                          "image_id string, phash long").write.parquet(ip)
+
+    out = str(tmp_path / "out")
+    dedup_main(["--input", ip, "--output", out, "--bands", "4",
+                "--audio", ap])
+    summary = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines()
+         if ln.startswith("{")][-1]
+    )
+    assert summary["audio_rows"] == 5
+    af = spark.read.parquet(os.path.join(out, "audio_features"))
+    assert set(af.columns) == {"audio_id", "n_samples", "duration_sec",
+                               "rms", "peak", "zero_cross_rate"}
+    assert af.filter("n_samples = 800").count() == 5
