@@ -366,9 +366,15 @@ def test_stream_job_dedup_mode_drains_and_resumes(spark, tmp_path):
           (3, 0x0F0F_0F0F_0F0F_0F0F)]
     b2 = [(4, 0x1234_5678_9ABC_DEF3),   # near ids 1 and 2 — CROSS drain
           (5, 0x5555_0000_AAAA_FFFF)]
-    schema = "image_id long, phash long"
-    spark.createDataFrame(b1, schema).coalesce(1) \
-        .write.parquet(str(landing / "b1"))
+
+    def drop(rows, name):  # the job reads the dir for schema: FLAT files
+        ids, hashes = zip(*rows)
+        pq.write_table(
+            pa.table({"image_id": pa.array(ids, type=pa.int64()),
+                      "phash": pa.array(hashes, type=pa.int64())}),
+            str(landing / name))
+
+    drop(b1, "b1.parquet")
 
     ckpt, out = str(tmp_path / "ck"), str(tmp_path / "pairs")
     argv = ["--input", str(landing), "--checkpoint", ckpt, "--output", out,
@@ -378,8 +384,7 @@ def test_stream_job_dedup_mode_drains_and_resumes(spark, tmp_path):
             .dropDuplicates(["id_a", "id_b"]).collect()}
     assert got1 == {(1, 2)}
 
-    spark.createDataFrame(b2, schema).coalesce(1) \
-        .write.parquet(str(landing / "b2"))
+    drop(b2, "b2.parquet")
     stream_main(argv)
     got2 = {(r.id_a, r.id_b) for r in spark.read.parquet(out)
             .dropDuplicates(["id_a", "id_b"]).collect()}
