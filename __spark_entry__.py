@@ -56,6 +56,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ev_us(col) -> F.Column:
+    """Naive epoch-microseconds of an events timestamp (TIMESTAMP_NTZ
+    from pyarrow parquet) ≡ DuckDB epoch_us on its naive TIMESTAMP —
+    timezone-free on both sides.  See operators/temporal.py:_micros."""
+    import datetime
+
+    epoch = F.lit(datetime.datetime(1970, 1, 1)).cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch, F.col(col) if isinstance(col, str) else col)
+
+
 def _event_points(spark, sf_dir) -> DataFrame:
     return _t(spark, sf_dir, "events").select(
         "event_id",
@@ -784,6 +794,114 @@ def q_emb_cosine_topk(spark, sf_dir):
     return cosine_topk(queries, corpus, EMB_DIM, k=3).withColumnRenamed("rank", "rnk")
 
 
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join (temporal engine addition): for every
+    purchase event, the latest prior-or-equal click by the same user —
+    the attribution query shape.  Spark side is operators/temporal.py's
+    union+window form (ONE shuffle, no join node); the oracle is
+    DuckDB's native ASOF LEFT JOIN, so the two engines prove the
+    semantics against INDEPENDENT implementations.  Clicks are
+    pre-aggregated to one row per (user, ts) — both engines — because
+    as-of is otherwise ambiguous under duplicate right timestamps."""
+    from mapsplit_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(p, c, on="user_id", matched_ts_col="_cts")
+    return j.select(
+        "event_id",
+        "user_id",
+        _ev_us("ts").alias("ts_us"),
+        "click_id",
+        _ev_us("_cts").alias("click_ts_us"),
+        (_ev_us("ts") - _ev_us("_cts")).alias("lag_us"),
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity gap) with per-
+    session aggregates — lag + cumulative-sum windows, ONE shuffle.
+    event_id breaks timestamp ties so the per-row session labels are
+    deterministic in both engines."""
+    from mapsplit_spark.operators.temporal import sessionize_gaps
+
+    s = sessionize_gaps(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", gap_s=1800, order_cols=["event_id"],
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(_ev_us("ts")).alias("first_us"),
+        F.max(_ev_us("ts")).alias("last_us"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_event_window_join(spark, sf_dir):
+    """Bounded range join (clicks in the hour BEFORE each purchase,
+    same user) — the bin-bucketed equi-join rewrite from
+    operators/temporal.py, aggregated per purchase.  The oracle states
+    the raw inequality join; the engine never plans one (no BNLJ —
+    pinned in tests/test_temporal.py)."""
+    from mapsplit_spark.operators.temporal import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    pairs = range_join_binned(
+        p, c, on="user_id", left_ts="ts", right_ts="c_ts",
+        lower_s=-3600, upper_s=0, strict_lower=True,
+    )
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("c_value"), 6).alias("click_value"),
+    )
+
+
+# 16-bit portable SimHash: generated ONCE by sqlgen, used verbatim in
+# both engines (same pattern as the tile-math formulas).
+_SIMHASH_VOTES = [sqlgen.simhash_vote_agg_sql("tok", b) for b in range(16)]
+_SIMHASH_COMBINE = sqlgen.simhash_combine_sql([f"v{b}" for b in range(16)])
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash document signatures (Charikar 2002 sign-random-
+    projection) with a PORTABLE md5-nibble token hash so the driver
+    gate verifies the construction value-exactly — the same
+    md5-variant-vs-xxhash64-production split as doc_winnow (the
+    production ``simhash_text`` in operators/dedup.py hashes with
+    xxhash64 and is pytest-pinned for locality; WHICH bits a hash
+    yields is hash-specific, so the two variants are deliberately not
+    cross-comparable).  Shape: explode distinct tokens, one grouped
+    aggregate with 16 vote SUMs, scalar combine — one shuffle."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("tok"),
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[F.expr(v).alias(f"v{b}") for b, v in enumerate(_SIMHASH_VOTES)],
+        F.count("*").alias("n_tok"),
+    )
+    return votes.select(
+        "doc_id",
+        F.expr(_SIMHASH_COMBINE).alias("simhash"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -825,6 +943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ann_pruned": q_emb_ann_pruned,
+        "events_asof": q_events_asof,
+        "event_sessions": q_event_sessions,
+        "event_window_join": q_event_window_join,
+        "doc_simhash": q_doc_simhash,
     }
 
 
@@ -1372,6 +1494,68 @@ s AS (
 ),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rnk FROM s)
 SELECT qid, rnk, cid, cos_sim FROM r WHERE rnk <= 3
+""",
+        # DuckDB's NATIVE ASOF LEFT JOIN — an implementation fully
+        # independent of the engine's union+window form.
+        "events_asof": """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.click_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "event_sessions": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS session_id FROM o
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+       ROUND(sum(value), 6) AS sum_value
+FROM s GROUP BY 1, 2
+""",
+        # The raw inequality join the engine deliberately never plans
+        # (its binned equi-join must produce the identical pair set).
+        "event_window_join": """
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(*) AS n_clicks, ROUND(sum(c.value), 6) AS click_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+GROUP BY 1, 2
+""",
+        "doc_simhash": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         {', '.join(f'{v} AS v{b}' for b, v in enumerate(_SIMHASH_VOTES))},
+         count(*) AS n_tok
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_COMBINE} AS simhash, CAST(n_tok AS BIGINT) AS n_tok
+FROM v
 """,
     }
     # pruned-probe ANN over the derived clustered vectors: the oracle is

@@ -308,3 +308,36 @@ def derived_lon_sql(key: str) -> str:
 def derived_lat_sql(key: str) -> str:
     # range ±85.05 — inside the Mercator domain, no clamping surprises
     return f"(CAST((({key}) * 7919) % 170100 AS DOUBLE) / 1000.0 - 85.05)"
+
+
+def simhash_token_bit_sql(tok: str, b: int) -> str:
+    """Bit ``b`` (0-based, 0..15) of a PORTABLE 16-bit token hash: the
+    first 4 hex chars of md5(tok), each nibble decoded with
+    instr('0123456789abcdef', char) - 1 and the bit extracted with
+    nonnegative integer modulo — every piece evaluates identically in
+    Spark SQL and DuckDB (both md5() functions emit lowercase hex).
+    Boolean-valued (bit is set); wrap in CASE at the call site."""
+    if not 0 <= b < 16:
+        raise ValueError("simhash_token_bit_sql: b must be in [0, 16)")
+    j = b // 4 + 1          # hex char (1-based), 4 bits per nibble
+    k = 3 - (b % 4)         # bit within the nibble, MSB-first
+    nib = f"(instr('0123456789abcdef', substr(md5({tok}), {j}, 1)) - 1)"
+    return f"(({nib} % {2 ** (k + 1)}) >= {2 ** k})"
+
+
+def simhash_vote_agg_sql(tok: str, b: int) -> str:
+    """Aggregate SQL for one SimHash bit vote over a group of token
+    rows: +1 when the token's hash bit is set, else −1 (Charikar 2002
+    sign-random-projection vote)."""
+    return f"SUM(CASE WHEN {simhash_token_bit_sql(tok, b)} THEN 1 ELSE -1 END)"
+
+
+def simhash_combine_sql(votes: list[str]) -> str:
+    """Fold per-bit vote columns into the 16-bit SimHash value:
+    Σ_b (vote_b > 0) · 2^b, CAST to BIGINT (portable — avoids DuckDB's
+    HUGEINT sums leaking into the output schema)."""
+    terms = [
+        f"(CASE WHEN ({v}) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b, v in enumerate(votes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
