@@ -76,6 +76,10 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "doc_quality",
         "doc_fingerprint",
         "emb_cosine_topk",
+        "events_asof",          # r5: union+window as-of join (no join node)
+        "event_sessions",       # r5: gap sessionization, one shuffle
+        "event_window_join",    # r5: binned-interval equi-join rewrite
+        "doc_simhash",          # r5: portable md5-nibble SimHash gate
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the
