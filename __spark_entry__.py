@@ -874,6 +874,12 @@ def q_event_window_join(spark, sf_dir):
 _SIMHASH_VOTES = [sqlgen.simhash_vote_agg_sql("tok", b) for b in range(16)]
 _SIMHASH_COMBINE = sqlgen.simhash_combine_sql([f"v{b}" for b in range(16)])
 
+from mapsplit_spark.operators.sampling import portable_hash_sql  # noqa: E402
+
+# shared portable bucket for the sampling gates (salt must match the
+# Spark-side deterministic_split/stratified_cap calls)
+_PHASH_BUCKET = portable_hash_sql("doc_id", salt="r5")
+
 
 def q_doc_simhash(spark, sf_dir):
     """SimHash document signatures (Charikar 2002 sign-random-
@@ -900,6 +906,31 @@ def q_doc_simhash(spark, sf_dir):
         F.expr(_SIMHASH_COMBINE).alias("simhash"),
         F.col("n_tok").cast("long").alias("n_tok"),
     )
+
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test split (training-pipeline engine
+    addition): every doc hashed into a named split by the PORTABLE
+    md5-prefix bucket — stable across runs/partitionings/engines,
+    map-only (no shuffle; pinned in tests/test_sampling.py).  Per-doc
+    output so the gate checks every single assignment."""
+    from mapsplit_spark.operators.sampling import deterministic_split
+
+    return deterministic_split(
+        _t(spark, sf_dir, "documents"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r5",
+    ).select("doc_id", "split")
+
+
+def q_doc_stratified(spark, sf_dir):
+    """Per-language stratified cap: at most 40 docs per lang, selected
+    in portable-hash order — a reproducible uniform per-stratum
+    subsample (corpus balancing op).  One shuffle."""
+    from mapsplit_spark.operators.sampling import stratified_cap
+
+    return stratified_cap(
+        _t(spark, sf_dir, "documents"), ["lang"], 40, "doc_id", salt="r5",
+    ).select("doc_id", "lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -944,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ann_pruned": q_emb_ann_pruned,
         "events_asof": q_events_asof,
+        "doc_split": q_doc_split,
+        "doc_stratified": q_doc_stratified,
         "event_sessions": q_event_sessions,
         "event_window_join": q_event_window_join,
         "doc_simhash": q_doc_simhash,
@@ -1541,6 +1574,18 @@ FROM events p JOIN events c
  AND c.ts <= p.ts
  AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
 GROUP BY 1, 2
+""",
+        "doc_split": f"""
+SELECT doc_id,
+       CASE WHEN {_PHASH_BUCKET} < 800000 THEN 'train'
+            WHEN {_PHASH_BUCKET} < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+        "doc_stratified": f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY {_PHASH_BUCKET} ASC, doc_id ASC) <= 40
 """,
         "doc_simhash": f"""
 WITH toks AS (
