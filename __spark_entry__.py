@@ -880,6 +880,11 @@ from mapsplit_spark.operators.sampling import portable_hash_sql  # noqa: E402
 # Spark-side deterministic_split/stratified_cap calls)
 _PHASH_BUCKET = portable_hash_sql("doc_id", salt="r5")
 
+from mapsplit_spark.operators.sampling import weighted_key_sql  # noqa: E402
+
+# shared A-ES key for the weighted-sample gate (salt must match)
+_WEIGHTED_KEY = weighted_key_sql("doc_id", "greatest(n_chars, 1)", "r5w")
+
 
 def q_doc_simhash(spark, sf_dir):
     """SimHash document signatures (Charikar 2002 sign-random-
@@ -905,6 +910,116 @@ def q_doc_simhash(spark, sf_dir):
         "doc_id",
         F.expr(_SIMHASH_COMBINE).alias("simhash"),
         F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+# multi-ring clip fixture (r5): 40 diamond outers + 8 diamond holes —
+# enough rings to engage the STR-tree path (≥ STRTREE_MIN_RINGS); all
+# vertex coords quantized to .25 so SQL literals are exact doubles, and
+# diamonds have no horizontal edges (ring_pip_sql requirement)
+def _diamond(cx, cy, rx, ry):
+    return [(cx - rx, cy), (cx, cy - ry), (cx + rx, cy), (cx, cy + ry)]
+
+
+CLIP_MULTI_OUTERS = [
+    _diamond(
+        -168.0 + (i % 8) * 43.0 + (i * 7 % 5),
+        -70.0 + (i // 8) * 31.0 + (i * 3 % 7),
+        8.5 + (i % 4) * 2.25,
+        6.5 + (i % 3) * 2.75,
+    )
+    for i in range(40)
+]
+CLIP_MULTI_HOLES = [
+    _diamond((r[0][0] + r[2][0]) / 2, (r[1][1] + r[3][1]) / 2, 2.25, 1.75)
+    for r in CLIP_MULTI_OUTERS[::5]
+]
+
+
+def q_clip_strtree(spark, sf_dir):
+    """North-star PIP join at many-ring scale: 40 outer + 8 hole rings
+    clipped through the STR-tree-indexed Arrow kernel (strtree.py —
+    vectorized packed-R-tree descent + one batched even-odd pass), the
+    web-scale replacement for the reference's per-ring scan
+    (clipPoly/isInside, MapSplit.java:999-1145).  use_index=True forces
+    the tree even at this ring count; results are bit-equal to the
+    linear scan (tests/test_strtree.py) and to the oracle's 48 unrolled
+    ring_pip_sql predicates."""
+    import numpy as np
+
+    from mapsplit_spark.operators.clip import clip_points
+
+    def ring_np(vs):
+        r = np.array(vs, dtype=np.float64)
+        return (r, (r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()))
+
+    pts = _event_points(spark, sf_dir)
+    kept = clip_points(
+        pts,
+        [ring_np(v) for v in CLIP_MULTI_OUTERS],
+        [ring_np(v) for v in CLIP_MULTI_HOLES],
+        use_index=True,
+    )
+    return kept.select("event_id")
+
+
+def q_user_distinct_hll(spark, sf_dir):
+    """Portable HyperLogLog (p=8) distinct-user-action sketch per event
+    type (operators/sketches.py): register/rho from the shared
+    md5-nibble formulas (sqlgen.hll_*), fold with exact-dyadic 2^-rho
+    literals — the estimate is bit-deterministic across engines and
+    partitionings, so the gate is value-exact even though the SKETCH is
+    approximate.  Raw (uncorrected) estimate: the linear-counting
+    branch needs ln(), which is engine libm — the production operator
+    applies it; the gate pins the portable pipeline."""
+    from mapsplit_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    elem = "concat(cast(user_id as string), ':', props)"
+    out = hll_distinct(ev, ["event_type"], elem, p=8, salt="r5",
+                       portable=True, corrected=False)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct(F.expr(elem)).cast("long").alias("exact_distinct")
+    )
+    return (
+        out.join(exact, "event_type")
+        .select(
+            "event_type", "n_reg",
+            F.round("hll_estimate", 3).alias("hll_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+def q_doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample (Efraimidis-Spirakis A-ES over the
+    portable hash): top 25 docs per language by u^(1/w), w = doc
+    length — longer docs proportionally likelier, selection reproducible
+    across runs/engines (operators/sampling.py::weighted_sample)."""
+    from mapsplit_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "greatest(n_chars, 1)",
+        25, ["lang"], salt="r5w",
+    ).select("doc_id", "lang")
+
+
+def q_event_quantiles(spark, sf_dir):
+    """Per-type exact value quantiles (type-7 linear interpolation —
+    Spark `percentile` ≡ DuckDB `quantile_cont`), the corpus-statistics
+    gate for the engine's distribution profiling; the approx scale path
+    (approx_percentile / Greenwald-Khanna) is pytest-bounded against
+    this exact operator in tests/test_sketches.py."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.round(F.expr(f"percentile(value, {p})"), 4).alias(f"q{int(p * 100)}")
+                for p in (0.25, 0.5, 0.75, 0.95)
+            ],
+        )
     )
 
 
@@ -980,6 +1095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_window_join": q_event_window_join,
         "doc_simhash": q_doc_simhash,
+        "clip_strtree": q_clip_strtree,
+        "user_distinct_hll": q_user_distinct_hll,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "event_quantiles": q_event_quantiles,
     }
 
 
@@ -1601,6 +1720,41 @@ v AS (
 )
 SELECT doc_id, {_SIMHASH_COMBINE} AS simhash, CAST(n_tok AS BIGINT) AS n_tok
 FROM v
+""",
+        # 48 unrolled even-odd ring predicates — the raw per-ring scan
+        # the STR-tree path must reproduce exactly
+        "clip_strtree": f"""
+WITH p AS (SELECT event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events)
+SELECT event_id FROM p
+WHERE ({' OR '.join(sqlgen.ring_pip_sql('lon', 'lat', r) for r in CLIP_MULTI_OUTERS)})
+  AND NOT ({' OR '.join(sqlgen.ring_pip_sql('lon', 'lat', r) for r in CLIP_MULTI_HOLES)})
+""",
+        "user_distinct_hll": f"""
+WITH est AS ({sqlgen.hll_estimate_sql(
+    'events', ['event_type'],
+    "concat(cast(user_id as string), ':', props)", salt='r5')}),
+ex AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT concat(cast(user_id as string), ':', props)) AS BIGINT)
+           AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type, est.n_reg, est.hll_estimate, ex.exact_distinct
+FROM est JOIN ex ON est.event_type = ex.event_type
+""",
+        "doc_weighted_sample": f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY {_WEIGHTED_KEY} DESC, doc_id ASC) <= 25
+""",
+        "event_quantiles": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.25), 4) AS q25,
+       ROUND(quantile_cont(value, 0.50), 4) AS q50,
+       ROUND(quantile_cont(value, 0.75), 4) AS q75,
+       ROUND(quantile_cont(value, 0.95), 4) AS q95
+FROM events GROUP BY event_type
 """,
     }
     # pruned-probe ANN over the derived clustered vectors: the oracle is

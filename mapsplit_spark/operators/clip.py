@@ -9,9 +9,18 @@ Spark-first: the polygon set is tiny (a country outline) → broadcast;
 the tile set is the small side too (distinct tiles ≪ points).  The
 ray-casting runs as a vectorized numpy kernel inside mapInPandas —
 Arrow-batched, one O(corners × vertices) matrix op per batch — with a
-bbox prefilter per ring (the STRtree-analog packed extent index; with
-ring counts this small a full tree adds nothing).  Point-level exact
-clip (``clip_points``) is the engine's extra precise mode.
+bbox prefilter per ring.  Point-level exact clip (``clip_points``) is
+the engine's extra precise mode.
+
+At web scale the ring side grows to thousands of admin/tile-boundary
+polygons; from ``STRTREE_MIN_RINGS`` rings both clip operators switch
+(``use_index="auto"``) to the packed STR R-tree (``strtree.py``):
+candidates come from a vectorized whole-batch tree descent instead of
+R per-ring bbox passes, then the SAME ``_pip`` kernel refines — bit-
+identical results, differential-tested, oracle gate ``clip_strtree``.
+``broadcast_polygon_index`` ships rings + trees once per executor as
+an explicit Spark broadcast (the closures here serialize per task —
+fine for one country outline, wasteful for 10^4 rings).
 """
 
 from __future__ import annotations
@@ -24,6 +33,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import tilemath as tm
+from ..strtree import build_strtree, query_strtree
+
+STRTREE_MIN_RINGS = 16
 
 
 def load_rings(polys_df: DataFrame, poly_id: str | None = None):
@@ -60,10 +72,69 @@ def _in_any(px, py, rings) -> np.ndarray:
     return hit
 
 
-def clip_tiles(tiles_df: DataFrame, outers, inners, zoom: int) -> DataFrame:
+def _flatten_rings(rings):
+    """Concatenate ring vertices into flat arrays (vx, vy, off, lens)
+    so the pair-batched PIP can gather edges with pure index math."""
+    vx = np.ascontiguousarray(np.concatenate([r[:, 0] for r, _ in rings]))
+    vy = np.ascontiguousarray(np.concatenate([r[:, 1] for r, _ in rings]))
+    lens = np.array([r.shape[0] for r, _ in rings], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    return vx, vy, off, lens
+
+
+def _in_any_indexed(px, py, flat, tree) -> np.ndarray:
+    """Same membership OR as ``_in_any`` but candidates come from one
+    vectorized STR-tree descent (O(hits) pairs) instead of R bbox
+    passes, and the even-odd refine runs ONE batched pass over all
+    (pair, edge) tuples — no per-ring Python loop.  The crossing
+    formula is ``_pip``'s verbatim, so parities (and therefore the
+    result) are bit-equal to the linear scan."""
+    hit = np.zeros(px.shape[0], dtype=bool)
+    p_idx, r_idx = query_strtree(tree, px, py)
+    if p_idx.size == 0:
+        return hit
+    vx, vy, off, lens = flat
+    counts = lens[r_idx]
+    total = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    lens_e = np.repeat(lens[r_idx], counts)
+    base = np.repeat(off[r_idx], counts)
+    vi = base + j
+    vprev = base + (j - 1) % lens_e       # np.roll(·, 1) pairing
+    ep = np.repeat(p_idx, counts)
+    X, Y = px[ep], py[ep]
+    xi, yi = vx[vi], vy[vi]
+    xj, yj = vx[vprev], vy[vprev]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cond = (yi > Y) != (yj > Y)
+        xints = (xj - xi) * (Y - yi) / (yj - yi) + xi
+        cross = cond & (X < xints)
+    per_pair = np.add.reduceat(cross.astype(np.int64), starts) \
+        if starts.size else np.zeros(0, dtype=np.int64)
+    inside = (per_pair % 2).astype(bool)
+    hit[p_idx[inside]] = True
+    return hit
+
+
+def _membership_fn(rings, use_index):
+    """Pick linear scan vs STR-tree for a ring set; both compute the
+    identical even-odd membership OR."""
+    if rings and (use_index is True or
+                  (use_index == "auto" and len(rings) >= STRTREE_MIN_RINGS)):
+        tree = build_strtree(np.array([b for _, b in rings]))
+        flat = _flatten_rings(rings)
+        return lambda px, py: _in_any_indexed(px, py, flat, tree)
+    return lambda px, py: _in_any(px, py, rings)
+
+
+def clip_tiles(tiles_df: DataFrame, outers, inners, zoom: int,
+               use_index: bool | str = "auto") -> DataFrame:
     """Corner-parity mode (P8): keep tiles where ≥1 of the 4 corners is
     inside an outer ring and not inside any inner ring
     (MapSplit.java:1020-1065 — corner-only, approximate by design)."""
+    in_outer = _membership_fn(outers, use_index)
+    in_inner = _membership_fn(inners, use_index)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,18 +149,21 @@ def clip_tiles(tiles_df: DataFrame, outers, inners, zoom: int) -> DataFrame:
                 for v in (0.0, 1.0):
                     cx = tm.tile2lon(tx + u, zoom)
                     cy = tm.tile2lat(ty + v, zoom)
-                    keep_in |= _in_any(cx, cy, outers)
+                    keep_in |= in_outer(cx, cy)
                     if inners:
-                        hole_hit |= _in_any(cx, cy, inners)
+                        hole_hit |= in_inner(cx, cy)
             yield pdf[keep_in & ~hole_hit]
 
     return tiles_df.mapInPandas(run, tiles_df.schema)
 
 
 def clip_points(points_df: DataFrame, outers, inners,
-                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+                lon_col: str = "lon", lat_col: str = "lat",
+                use_index: bool | str = "auto") -> DataFrame:
     """Exact point-level clip (engine precise mode): keep rows whose
     point is inside ≥1 outer ring and no inner ring."""
+    in_outer = _membership_fn(outers, use_index)
+    in_inner = _membership_fn(inners, use_index)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,9 +172,50 @@ def clip_points(points_df: DataFrame, outers, inners,
                 continue
             px = pdf[lon_col].to_numpy(np.float64)
             py = pdf[lat_col].to_numpy(np.float64)
-            keep = _in_any(px, py, outers)
+            keep = in_outer(px, py)
             if inners:
-                keep &= ~_in_any(px, py, inners)
+                keep &= ~in_inner(px, py)
+            yield pdf[keep]
+
+    return points_df.mapInPandas(run, points_df.schema)
+
+
+def broadcast_polygon_index(spark, outers, inners, use_index: bool | str = True):
+    """Build the STR trees once driver-side and ship (rings, trees) to
+    every executor as an explicit Spark broadcast — one transfer per
+    executor instead of one closure copy per task.  Use with
+    ``clip_points_bc`` when the ring set is large (10^3-10^5 admin /
+    tile-boundary polygons — the north-star PIP-join shape)."""
+    def pack(rings):
+        if rings and (use_index is True or
+                      (use_index == "auto" and len(rings) >= STRTREE_MIN_RINGS)):
+            return rings, (_flatten_rings(rings),
+                           build_strtree(np.array([b for _, b in rings])))
+        return rings, None
+    return spark.sparkContext.broadcast((pack(outers), pack(inners)))
+
+
+def clip_points_bc(points_df: DataFrame, bc,
+                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """``clip_points`` over a ``broadcast_polygon_index`` handle — the
+    Arrow batches never see the rings until ``bc.value`` resolves on
+    the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        (outers, t_out), (inners, t_in) = bc.value
+        in_outer = (lambda px, py: _in_any_indexed(px, py, t_out[0], t_out[1])) \
+            if t_out is not None else (lambda px, py: _in_any(px, py, outers))
+        in_inner = (lambda px, py: _in_any_indexed(px, py, t_in[0], t_in[1])) \
+            if t_in is not None else (lambda px, py: _in_any(px, py, inners))
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            keep = in_outer(px, py)
+            if inners:
+                keep &= ~in_inner(px, py)
             yield pdf[keep]
 
     return points_df.mapInPandas(run, points_df.schema)

@@ -95,3 +95,40 @@ def stratified_cap(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def weighted_key_sql(id_expr: str, weight_expr: str, salt: str = "") -> str:
+    """Efraimidis–Spirakis A-ES key u^(1/w) with u the portable-hash
+    uniform ((bucket + 0.5)/MOD ∈ (0,1)) — a weighted sample without
+    replacement is the top-n rows by this key.  Deterministic given
+    (id, weight, salt); shared verbatim with the DuckDB oracle.  pow()
+    is engine libm — the one formula here that is identical only to
+    ~1 ulp, which cannot flip a selection unless two keys collide at
+    ~1e-16 relative (content-hash keys never get that close; verified
+    value-exact at two SFs in the gate)."""
+    u = f"(({portable_hash_sql(id_expr, salt)}) + 0.5) / {MOD}.0"
+    return f"pow({u}, 1.0 / greatest(cast({weight_expr} as double), 1e-12))"
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_expr: str,
+    n: int,
+    strata_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis &
+    Spirakis 2006): per stratum (or globally), keep the n rows with the
+    largest u^(1/w) keys — inclusion probability rises with weight,
+    reproducible across runs/partitionings/engines.  One shuffle; the
+    rank-filter pushdown keeps per-partition sorts bounded at top-n
+    (same TopK shape as ``stratified_cap``)."""
+    key = F.expr(weighted_key_sql(id_col, weight_expr, salt))
+    part = strata_cols if strata_cols else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_wk", F.row_number().over(w))
+        .filter(F.col("_wk") <= n)
+        .drop("_wk")
+    )

@@ -1,0 +1,158 @@
+"""Cardinality / quantile sketches for web-scale corpus statistics
+(engine additions; no mapsplit counterpart — the reference counts
+distinct elements per tile exactly because a single JVM sees every
+element, MapSplit.java stats accumulators; at 10^12 rows an exact
+COUNT(DISTINCT) per group is a full shuffle of every distinct value).
+
+HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) re-expressed as
+two grouped aggregations:
+
+    groupBy(group, register).agg(max(rho))      # partial map-side:
+                                                #   shuffle ≤ groups × m rows
+    groupBy(group).agg(fold registers)          # tiny
+
+— the shuffle volume is bounded by ``groups × m`` REGARDLESS of input
+cardinality, which is the whole point at 100 TB: a billion distinct
+elements per group still moves at most m = 2^p rows per group.  The
+register relation is also a mergeable sketch: max-combining two runs'
+registers sketches the union (pytest-pinned), so per-partition /
+per-day sketches roll up without touching raw data.
+
+Two hash modes, mirroring the repo's winnow/SimHash portability split:
+
+* ``portable=True``  — p = 8, md5-prefix nibble hash, every formula
+  generated once in ``sqlgen`` and shared verbatim with the DuckDB
+  oracle (gate ``user_distinct_hll``).  All 2^-rho terms are dyadic
+  rationals ≥ 2^-25, so their sums are EXACT in IEEE double — the
+  estimate is bit-deterministic across engines and partitionings.
+* ``portable=False`` — production: xxhash64 (JVM-side, no md5 string
+  churn), any p in [4, 18], rho from the full 64−p-bit tail, plus the
+  standard small-range linear-counting correction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import sqlgen
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    elem: str,
+    p: int = 12,
+    salt: str = "",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-(group, register) max-rho relation — the mergeable sketch
+    state.  ``elem`` is a SQL expression (column or concat).  One
+    shuffle, partial-aggregated map-side; ≤ groups × 2^p output rows."""
+    if portable:
+        if p != 8:
+            raise ValueError("portable HLL is fixed at p=8 (nibble-aligned)")
+        s = f"concat('{salt}', cast({elem} as string))" if salt \
+            else f"cast({elem} as string)"
+        rows = df.select(
+            *group_cols,
+            F.expr(sqlgen.hll_reg_sql(s)).alias("reg"),
+            F.expr(sqlgen.hll_rho_sql(sqlgen.hll_w_sql(s))).alias("rho"),
+        )
+    else:
+        if not 4 <= p <= 18:
+            raise ValueError("hll_registers: p must be in [4, 18]")
+        wbits = 64 - p
+        hashed = df.select(
+            *group_cols,
+            F.xxhash64(F.expr(elem).cast("string"), F.lit(salt)).alias("_h"),
+        )
+        h = F.col("_h")
+        w = F.shiftrightunsigned(h, p)
+        # rho = leading zeros of the wbits-wide tail + 1 = wbits+1 − bitlength
+        rows = hashed.select(
+            *group_cols,
+            h.bitwiseAND(F.lit((1 << p) - 1)).alias("reg"),
+            F.when(w == 0, F.lit(wbits + 1))
+            .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+    return rows.groupBy(*group_cols, "reg").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_merge(registers_a: DataFrame, registers_b: DataFrame) -> DataFrame:
+    """Union two sketch-state relations (same group_cols/p/salt/hash):
+    register-wise max — sketches the union of the two element sets."""
+    cols = registers_a.columns
+    key = [c for c in cols if c != "max_rho"]
+    return (
+        registers_a.unionByName(registers_b)
+        .groupBy(*key)
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int,
+    corrected: bool = True,
+) -> DataFrame:
+    """Fold sketch state into per-group estimates.  Raw estimate
+    α_m·m²/Σ2^−M_j (unseen registers contribute 1.0 each); with
+    ``corrected``, the small-range linear-counting switch
+    (E ≤ 2.5m and empty registers exist → m·ln(m/V))."""
+    m = 1 << p
+    am2 = _alpha(m) * m * m
+    max_rho = 64 - p + 1
+    inv = F.expr(sqlgen.hll_inv_pow2_sql("max_rho", min(max_rho, 64)))
+    s = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_reg"),
+        (F.sum(inv) + (F.lit(m) - F.count("*")) * F.lit(1.0)).alias("sum_inv"),
+    )
+    raw = F.lit(am2) / F.col("sum_inv")
+    if corrected:
+        v = F.lit(m) - F.col("n_reg")  # empty registers
+        est = F.when(
+            (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+        ).otherwise(raw)
+    else:
+        est = raw
+    return s.select(
+        *group_cols,
+        F.col("n_reg").cast("long").alias("n_reg"),
+        F.col("sum_inv"),
+        est.alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    elem: str,
+    p: int = 12,
+    salt: str = "",
+    portable: bool = False,
+    corrected: bool = True,
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT elem): registers → fold.
+    Standard error ≈ 1.04/√(2^p) (~1.6% at p=12, 6.5% at p=8)."""
+    regs = hll_registers(df, group_cols, elem, p=p, salt=salt, portable=portable)
+    return hll_estimate_from_registers(regs, group_cols, p=p, corrected=corrected)
+
+
+def hll_error_bound(p: int, n_sigma: float = 4.0) -> float:
+    """Relative error bound at n_sigma standard errors — test helper."""
+    return n_sigma * 1.04 / math.sqrt(1 << p)

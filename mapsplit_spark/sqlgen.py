@@ -341,3 +341,87 @@ def simhash_combine_sql(votes: list[str]) -> str:
         for b, v in enumerate(votes)
     ]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# --------------------------------------------------------------- HLL sketch
+
+def md5_nibble_sql(s: str, j: int) -> str:
+    """Hex nibble ``j`` (1-based) of md5(s) as a portable integer —
+    instr('0123456789abcdef', ·) − 1, identical in Spark SQL and DuckDB
+    (both emit lowercase hex)."""
+    return f"(instr('0123456789abcdef', substr(md5({s}), {j}, 1)) - 1)"
+
+
+def hll_reg_sql(s: str) -> str:
+    """HyperLogLog register index (p = 8, m = 256 registers) of a string
+    expression: the LOW byte of the portable 32-bit md5-prefix hash —
+    hex nibbles 7 and 8 (Flajolet et al. 2007 split h = <reg, w>).
+    Pure nibble arithmetic: no engine-specific integer division."""
+    return f"({md5_nibble_sql(s, 7)} * 16 + {md5_nibble_sql(s, 8)})"
+
+
+def hll_w_sql(s: str) -> str:
+    """The 24-bit tail w of the portable hash (hex nibbles 1..6,
+    MSB-first) whose leading-zero count drives the HLL rho.  BIGINT
+    accumulation (nibble·16⁵ stays in int32 but Spark 4 ANSI math is
+    safest wide)."""
+    terms = [
+        f"cast({md5_nibble_sql(s, j)} as bigint) * {16 ** (6 - j)}"
+        for j in range(1, 7)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hll_rho_sql(w: str, wbits: int = 24) -> str:
+    """rho(w) = position of the leftmost 1-bit of the wbits-wide word
+    (1-based), wbits+1 when w = 0 — as a pure integer-comparison CASE
+    chain (no bin()/log2(), whose widths and float rounding differ
+    between engines)."""
+    cases = " ".join(
+        f"WHEN ({w}) >= {2 ** (wbits - k)} THEN {k}" for k in range(1, wbits + 1)
+    )
+    return f"(CASE {cases} ELSE {wbits + 1} END)"
+
+
+def hll_inv_pow2_sql(rho: str, max_rho: int = 25) -> str:
+    """2^(−rho) as a CASE over EXACT double literals (repr of 2.0**−k
+    round-trips bit-exactly in both parsers) — avoids trusting two pow()
+    implementations to agree.  Every branch value is a dyadic rational
+    ≥ 2^−25, so SUMs of them are exact in IEEE double regardless of
+    accumulation order: the downstream estimate is bit-deterministic
+    across engines AND across Spark partitionings."""
+    cases = " ".join(
+        f"WHEN ({rho}) = {k} THEN {2.0 ** -k!r}" for k in range(1, max_rho + 1)
+    )
+    return f"(CASE {cases} ELSE 1.0 END)"
+
+
+HLL_M = 256                      # p = 8 (portable variant is fixed-width)
+HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+
+
+def hll_estimate_sql(src: str, group_cols: list[str], elem: str,
+                     salt: str = "") -> str:
+    """Complete portable HyperLogLog query (p = 8): per-group register
+    maxima → raw estimate α_m·m²/Σ2^−M_j, with unseen registers
+    contributing 2^0 = 1 each.  Generated ONCE, run verbatim by Spark
+    and DuckDB.  Output: group_cols, n_reg (registers hit), exact-dyadic
+    sum_inv, estimate (ROUND(·,3) of a bit-identical double)."""
+    g = ", ".join(group_cols)
+    s = f"concat('{salt}', cast({elem} as string))" if salt \
+        else f"cast({elem} as string)"
+    return f"""
+WITH b AS (
+  SELECT {g}, {hll_reg_sql(s)} AS reg, {hll_rho_sql(hll_w_sql(s))} AS rho
+  FROM {src}
+),
+r AS (SELECT {g}, reg, MAX(rho) AS mr FROM b GROUP BY {g}, reg),
+s AS (
+  SELECT {g}, COUNT(*) AS n_reg,
+         SUM({hll_inv_pow2_sql('mr')}) + ({HLL_M} - COUNT(*)) * 1.0 AS sum_inv
+  FROM r GROUP BY {g}
+)
+SELECT {g}, CAST(n_reg AS BIGINT) AS n_reg,
+       ROUND({HLL_ALPHA_M2!r} / sum_inv, 3) AS hll_estimate
+FROM s
+"""
