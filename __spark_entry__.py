@@ -913,8 +913,9 @@ def q_doc_simhash(spark, sf_dir):
     )
 
 
-# multi-ring clip fixture (r5): 40 diamond outers + 8 diamond holes —
-# enough rings to engage the STR-tree path (≥ STRTREE_MIN_RINGS); all
+# multi-ring clip fixture (r5): 40 diamond outers + 8 diamond holes
+# (the gate forces use_index=True — the auto threshold sits at the
+# measured ~1000-ring crossover, far above an oracle-sized fixture);
 # vertex coords quantized to .25 so SQL literals are exact doubles, and
 # diamonds have no horizontal edges (ring_pip_sql requirement)
 def _diamond(cx, cy, rx, ry):

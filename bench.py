@@ -80,6 +80,10 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "event_sessions",       # r5: gap sessionization, one shuffle
         "event_window_join",    # r5: binned-interval equi-join rewrite
         "doc_simhash",          # r5: portable md5-nibble SimHash gate
+        "clip_strtree",         # r5: STR-tree indexed PIP over 48 rings
+        "user_distinct_hll",    # r5: portable HyperLogLog sketch fold
+        "doc_weighted_sample",  # r5: A-ES weighted top-n per stratum
+        "event_quantiles",      # r5: exact type-7 percentiles per group
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

@@ -13,8 +13,9 @@ bbox prefilter per ring.  Point-level exact clip (``clip_points``) is
 the engine's extra precise mode.
 
 At web scale the ring side grows to thousands of admin/tile-boundary
-polygons; from ``STRTREE_MIN_RINGS`` rings both clip operators switch
-(``use_index="auto"``) to the packed STR R-tree (``strtree.py``):
+polygons; from ``STRTREE_MIN_RINGS`` rings (the measured linear/tree
+crossover) both clip operators switch (``use_index="auto"``) to the
+packed STR R-tree (``strtree.py``):
 candidates come from a vectorized whole-batch tree descent instead of
 R per-ring bbox passes, then the SAME ``_pip`` kernel refines — bit-
 identical results, differential-tested, oracle gate ``clip_strtree``.
@@ -35,7 +36,12 @@ from pyspark.sql import functions as F
 from .. import tilemath as tm
 from ..strtree import build_strtree, query_strtree
 
-STRTREE_MIN_RINGS = 16
+# measured crossover (tools/bench_strtree.py, ~1x-coverage rings,
+# 100 k-pt batches): the linear scan's streaming passes beat the tree's
+# gather-heavy descent below ~1000 rings; the tree wins 3x at 2000,
+# ~10x at 5000, ~80x at 50 000.  "auto" switches just under the
+# crossover; pass use_index=True to force the tree at any count.
+STRTREE_MIN_RINGS = 768
 
 
 def load_rings(polys_df: DataFrame, poly_id: str | None = None):
