@@ -1,0 +1,97 @@
+"""stats_job CLI e2e: the corpus-statistics pipeline over the sf0.001
+documents table — HLL sketch, approx quantiles, weighted sample, hash
+split — outputs pinned against the direct operators (same salt ⇒ same
+rows) and against exact recomputes where the operator is approximate.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+REPO = "/root/repo"
+
+
+@pytest.fixture(scope="module")
+def out(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stats_out")
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/jobs/stats_job.py",
+         "--input", f"{SF}/documents.parquet", "--output", str(d),
+         "--id-col", "doc_id", "--group-col", "lang",
+         "--value-col", "n_chars", "--hll-p", "12",
+         "--sample-n", "15", "--sample-weight", "greatest(n_chars, 1)",
+         "--split", "train=0.8,val=0.1,test=0.1", "--salt", "sj",
+         "--cores", "8"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    return d, summary
+
+
+def test_summary_shape(out):
+    _, s = out
+    assert s["groups"] == 5
+    assert s["quantile_mode"] == "approx_percentile"
+    assert s["sample_rows"] == 75            # 15 × 5 langs
+    assert set(s["split_counts"]) == {"train", "val", "test"}
+    assert sum(s["split_counts"].values()) == 500
+
+
+def test_hll_close_to_exact(out, spark):
+    d, s = out
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    for lang, est in s["hll_estimates"].items():
+        assert abs(est - exact[lang]) / exact[lang] < 0.07   # 4σ at p=12
+
+
+def test_sample_matches_direct_operator(out, spark):
+    d, _ = out
+    from mapsplit_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    direct = sorted(
+        (r.lang, r.doc_id)
+        for r in weighted_sample(docs, "doc_id", "greatest(n_chars, 1)",
+                                 15, ["lang"], salt="sj").collect()
+    )
+    written = sorted(
+        (r.lang, r.doc_id)
+        for r in spark.read.parquet(f"{d}/sample").collect()
+    )
+    assert written == direct
+
+
+def test_split_matches_direct_operator(out, spark):
+    d, _ = out
+    from mapsplit_spark.operators.sampling import deterministic_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    direct = {r.doc_id: r.split for r in
+              deterministic_split(docs, "doc_id",
+                                  {"train": 0.8, "val": 0.1, "test": 0.1},
+                                  salt="sj").collect()}
+    written = {r.doc_id: r.split for r in
+               spark.read.parquet(f"{d}/split").collect()}
+    assert written == direct
+
+
+def test_quantiles_within_rank_bound(out, spark):
+    d, _ = out
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    written = {r.lang: r for r in spark.read.parquet(f"{d}/quantiles").collect()}
+    for lang, row in written.items():
+        v = sorted(r.n_chars for r in
+                   docs.filter(F.col("lang") == lang).select("n_chars").collect())
+        for q in (0.25, 0.5, 0.75, 0.95):
+            ap = row[f"q{str(q).replace('.', '_')}"]
+            rank = sum(1 for x in v if x <= ap)
+            assert abs(rank - q * row.n) <= max(2.0, row.n / 10000 + 1)
