@@ -124,14 +124,24 @@ def _scaling_pipeline(spark, n_rows: int):
 
 
 def cluster_flagship_time(n_execs: int, cores_per: int, rows: int,
-                          runs: int = 1) -> float:
+                          runs: int = 1, full_warm: bool = False) -> float:
     """Flagship wall time on a local-cluster master — SEPARATE executor
     JVMs, the honest sandbox analog of 'N executors' (single-JVM
     local[N] thread scaling is capped by this VM — see BASELINE.md
     'Why local-cluster').  Fixed per-executor resources; only the
     executor count changes between the two levels.  One warm pass, then
     ``runs`` timed passes (default ONE — the r4 protocol takes its
-    statistics ACROSS fresh processes, not within one)."""
+    statistics ACROSS fresh processes, not within one).
+
+    ``full_warm`` warms with the FULL row count instead of rows//20:
+    the small warm pass exercises JIT/codegen but populates only ~5% of
+    the memory footprint, so the first full pass additionally pays
+    first-touch page faults on executor heap/shuffle pages — the
+    mechanism BASELINE.md r5 measures at 75-450x on raw allocations in
+    bad windows.  full_warm separates the two regimes: cold-start E
+    (default; includes page population, what a fresh autoscaled
+    executor set would see) vs steady-state E (hot pages, what a
+    long-running cluster sees)."""
     from pyspark.sql import SparkSession
 
     total = n_execs * cores_per
@@ -146,7 +156,7 @@ def cluster_flagship_time(n_execs: int, cores_per: int, rows: int,
         .getOrCreate()
     )
     try:
-        _force(_scaling_pipeline(spark, rows // 20))  # warm JIT/codegen
+        _force(_scaling_pipeline(spark, rows if full_warm else rows // 20))
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -260,11 +270,17 @@ def main() -> None:
         n_exec = int(os.environ.get("SPARK_GRAFT_EXECS", "1"))
         cores_per = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
         n_samples = max(3, int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "3")))
+        # steady-state mode: full-size warm pass in every subprocess, so
+        # the timed pass sees hot pages (long-running-cluster regime)
+        # instead of paying first-touch page population (fresh-executor
+        # regime) — see cluster_flagship_time.full_warm
+        steady = os.environ.get("SPARK_GRAFT_SCALE_STEADY", "") == "1"
 
         def level_time(execs: int) -> float:
             code = (
                 "import bench, sys; "
-                f"sys.stdout.write(str(bench.cluster_flagship_time({execs}, {cores_per}, {n})))"
+                f"sys.stdout.write(str(bench.cluster_flagship_time("
+                f"{execs}, {cores_per}, {n}, full_warm={steady})))"
             )
             out = subprocess.run(
                 [sys.executable, "-c", code],
@@ -347,6 +363,7 @@ def main() -> None:
                                           if attainable is not None else None),
             "capacity_censored": (attainable < 0.8
                                   if attainable is not None else None),
+            "steady_state": steady,
             "rows": n, "sf": sf,
         })
         return

@@ -60,7 +60,10 @@ def hll_registers(
 ) -> DataFrame:
     """Per-(group, register) max-rho relation — the mergeable sketch
     state.  ``elem`` is a SQL expression (column or concat).  One
-    shuffle, partial-aggregated map-side; ≤ groups × 2^p output rows."""
+    shuffle, partial-aggregated map-side; ≤ groups × 2^p output rows.
+    NULL elements are dropped first — matching COUNT(DISTINCT)'s NULL
+    semantics (and the sqlgen oracle's WHERE ... IS NOT NULL)."""
+    df = df.filter(F.expr(elem).isNotNull())
     if portable:
         if p != 8:
             raise ValueError("portable HLL is fixed at p=8 (nibble-aligned)")

@@ -404,8 +404,8 @@ def hll_estimate_sql(src: str, group_cols: list[str], elem: str,
                      salt: str = "") -> str:
     """Complete portable HyperLogLog query (p = 8): per-group register
     maxima → raw estimate α_m·m²/Σ2^−M_j, with unseen registers
-    contributing 2^0 = 1 each.  Generated ONCE, run verbatim by Spark
-    and DuckDB.  Output: group_cols, n_reg (registers hit), exact-dyadic
+    contributing 2^0 = 1 each; NULL elements dropped (COUNT(DISTINCT)
+    semantics).  Generated ONCE, run verbatim by Spark and DuckDB.  Output: group_cols, n_reg (registers hit), exact-dyadic
     sum_inv, estimate (ROUND(·,3) of a bit-identical double)."""
     g = ", ".join(group_cols)
     s = f"concat('{salt}', cast({elem} as string))" if salt \
@@ -413,7 +413,7 @@ def hll_estimate_sql(src: str, group_cols: list[str], elem: str,
     return f"""
 WITH b AS (
   SELECT {g}, {hll_reg_sql(s)} AS reg, {hll_rho_sql(hll_w_sql(s))} AS rho
-  FROM {src}
+  FROM {src} WHERE ({elem}) IS NOT NULL
 ),
 r AS (SELECT {g}, reg, MAX(rho) AS mr FROM b GROUP BY {g}, reg),
 s AS (
