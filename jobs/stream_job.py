@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "streams cannot auto-size)")
     p.add_argument("--bits", type=int, default=64)
     p.add_argument("--max-bucket", type=int, default=1024)
+    p.add_argument("--state-ttl-ms", type=int, default=None,
+                   help="evict dedup buckets idle this long (processing-"
+                        "time timeout) — bounds state to the active "
+                        "working set for unbounded ingest; pairs older "
+                        "than the TTL fall to batch reconciliation")
     return p
 
 
@@ -87,7 +92,7 @@ def run_dedup_stream(spark, args):
     pairs = streaming_hamming_dedup(
         stream, id_col=args.id_col, hash_col=args.hash_col,
         radius=args.radius, n_bands=args.bands, bits=args.bits,
-        max_bucket=args.max_bucket,
+        max_bucket=args.max_bucket, state_ttl_ms=args.state_ttl_ms,
     )
 
     def sink(df, batch_id):  # file sinks can't take update mode directly

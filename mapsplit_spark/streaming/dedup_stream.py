@@ -42,6 +42,14 @@ bound it for unbounded streams:
   memory.  Must be set BEFORE the stream starts.
 * **per-bucket cap** (``max_bucket``): hard-bounds any single key's
   state regardless of corpus skew (hub-star degradation past the cap).
+* **state TTL** (``state_ttl_ms``): processing-time timeout per bucket
+  — a bucket idle for the TTL is EVICTED (state.remove on
+  hasTimedOut), so total state tracks the ACTIVE working set instead
+  of the full corpus.  Semantics change honestly: a duplicate arriving
+  after its partner's bucket expired is NOT paired online — that
+  tail is exactly what the periodic batch reconciliation below
+  recovers.  Dedup-recall window = TTL; state bound = arrival rate ×
+  TTL × C(m, m−r).
 * **corpus time-partitioning** (operational): for ingest beyond one
   state store's capacity, key the checkpoint per epoch (day/week) and
   start a fresh query per epoch — arrivals then dedup against the
@@ -161,11 +169,19 @@ def rocksdb_state_conf() -> dict[str, str]:
 def streaming_hamming_dedup(stream: DataFrame, id_col: str = "image_id",
                             hash_col: str = "phash", radius: int = 3,
                             n_bands: int = 6, bits: int = 64,
-                            max_bucket: int = 1024) -> DataFrame:
+                            max_bucket: int = 1024,
+                            state_ttl_ms: int | None = None) -> DataFrame:
     """(id, phash) stream → (id_a, id_b, hamming ≤ radius) pair stream.
 
     ``n_bands`` must be explicit (a stream has no countable size for
-    ``auto_bands``); radius ≤ n_bands − 1 required, as in batch."""
+    ``auto_bands``); radius ≤ n_bands − 1 required, as in batch.
+
+    ``state_ttl_ms`` bounds state for unbounded ingest: buckets idle
+    longer than the TTL are evicted (processing-time timeout), trading
+    the online recall window for a working-set-sized state store — see
+    the module docstring's lifecycle section.  Timeouts fire at micro-
+    batch boundaries, so eviction needs a subsequent trigger; a bucket
+    receiving data in the expiring batch is refreshed, not evicted."""
     if radius > n_bands - 1:
         raise ValueError(
             f"radius={radius} needs n_bands ≥ {radius + 1} for exact recall "
@@ -181,6 +197,12 @@ def streaming_hamming_dedup(stream: DataFrame, id_col: str = "image_id",
 
     def fn(key: tuple, batches: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL with no arrivals this batch → evict
+            state.remove()
+            yield pd.DataFrame({"id_a": empty_i, "id_b": empty_i,
+                                "hamming": np.empty(0, dtype=np.int32)})
+            return
         # state as numpy arrays; int64 ids, hashes viewed as uint64 bit
         # patterns (two's complement — XOR/popcount are representation-
         # level, so the view is exact)
@@ -204,6 +226,8 @@ def streaming_hamming_dedup(stream: DataFrame, id_col: str = "image_id",
             )
 
         state.update((s_ids.tolist(), s_hashes.view(np.int64).tolist()))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if outs:
             a = np.concatenate([o[0] for o in outs])
             b = np.concatenate([o[1] for o in outs])
@@ -215,6 +239,8 @@ def streaming_hamming_dedup(stream: DataFrame, id_col: str = "image_id",
             yield pd.DataFrame({"id_a": empty_i, "id_b": empty_i,
                                 "hamming": np.empty(0, dtype=np.int32)})
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return banded.groupBy("band", "bval").applyInPandasWithState(
-        fn, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        fn, OUT_SCHEMA, STATE_SCHEMA, "update", timeout
     )

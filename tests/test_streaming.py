@@ -391,3 +391,70 @@ def test_stream_job_dedup_mode_drains_and_resumes(spark, tmp_path):
     # the second drain processed ONLY the new file, but its arrivals
     # verified against the checkpointed bucket state from drain 1
     assert got2 == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_streaming_dedup_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    """r5: state TTL — a bucket idle past ``state_ttl_ms`` is EVICTED
+    (processing-time timeout → state.remove), so a later near-dup of an
+    expired image is NOT paired online (that tail belongs to the batch
+    reconciliation pass).  Three availableNow drains over one
+    checkpoint: (1) register ids 1,2 (pair found), (2) after > TTL,
+    unrelated id 3 arrives — the batch boundary fires the timeout and
+    evicts the idle 1/2 buckets (numRowsRemoved > 0 pinned), (3) id 4
+    at hamming 1 from id 1 arrives → NO (1,4) pair.  A control run
+    WITHOUT TTL on a separate checkpoint emits (1,4) from the identical
+    drain sequence, so the eviction (not banding or restarts) is what
+    the assertion isolates."""
+    import json as _json
+    import time
+
+    from mapsplit_spark.streaming.dedup_stream import streaming_hamming_dedup
+
+    schema = "image_id long, phash long"
+    b1 = [(1, 0x1234_5678_9ABC_DEF0), (2, 0x1234_5678_9ABC_DEF1)]
+    b2 = [(3, 0x5555_0000_AAAA_FFFF)]   # far from 1/2 in every band
+    b3 = [(4, 0x1234_5678_9ABC_DEF2)]   # hamming 1 vs id 1 (bit 1)
+
+    def run(tag, ttl):
+        landing = tmp_path / f"landing_{tag}"
+        landing.mkdir()
+        ckpt, out = str(tmp_path / f"ck_{tag}"), str(tmp_path / f"out_{tag}")
+        removed = 0
+
+        def drain(rows, name):
+            nonlocal removed
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.parquet(str(landing / name))
+            stream = (spark.readStream.schema(schema)
+                      .parquet(str(landing / "*")))
+            pairs = streaming_hamming_dedup(
+                stream, radius=3, n_bands=4, state_ttl_ms=ttl)
+
+            def sink(df, _bid):
+                df.dropDuplicates(["id_a", "id_b"]).write.mode("append") \
+                    .parquet(out)
+
+            q = (pairs.writeStream.foreachBatch(sink).outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            for p in q.recentProgress:
+                for op in _json.loads(p.json).get("stateOperators", []):
+                    removed += op.get("numRowsRemoved", 0) or 0
+
+        drain(b1, "b1")
+        time.sleep(1.5)          # > TTL: the 1/2 buckets go idle-expired
+        drain(b2, "b2")
+        time.sleep(0.2)
+        drain(b3, "b3")
+        got = {(r.id_a, r.id_b)
+               for r in spark.read.parquet(out).distinct().collect()}
+        return got, removed
+
+    got_ttl, removed_ttl = run("ttl", ttl=500)
+    assert (1, 2) in got_ttl             # in-window pair still found
+    assert (1, 4) not in got_ttl         # partner evicted before arrival
+    assert removed_ttl > 0               # eviction actually fired
+
+    got_ctl, _ = run("ctl", ttl=None)
+    assert {(1, 2), (1, 4)} <= got_ctl   # control: no TTL → pair survives
