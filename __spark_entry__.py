@@ -1049,6 +1049,38 @@ def q_doc_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_event_geohash(spark, sf_dir):
+    """Geohash cell ids (public base-32 bit-interleave — the third cell
+    encoding next to Morton/quadkey, cellid.py): per event point the
+    precision-8 and precision-5 codes via the ENGINE's shift/mask
+    column kernel (cellid.geohash_col, codegen, no UDF), gated against
+    an INDEPENDENT FLOOR/mod arithmetic + SUBSTR-alphabet oracle
+    formulation (sqlgen.geohash_chars_sql) — the tile_cellid
+    two-formulations pattern.  Precision 5 exercises the odd-total
+    interleave (13 lon / 12 lat bits); the float→int quantization step
+    shares identical arithmetic text in both engines (FP parity), the
+    encoding layer does not."""
+    from mapsplit_spark.cellid import geohash_col
+
+    return _event_points(spark, sf_dir).select(
+        "event_id",
+        geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh5"),
+        geohash_col(F.col("lon"), F.col("lat"), 8).alias("gh8"),
+    )
+
+
+def q_doc_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (corpus keyword extraction —
+    training-data curation surface): tf·ln(N/df), rank ties broken by
+    (ROUND(tfidf,4) DESC, term ASC) in BOTH engines so the gate is
+    value-exact (operators/textstats.py::tfidf_topk).  The oracle
+    restates it declaratively over DuckDB's unnest/regexp tokenizer —
+    same ASCII token regex, independent relational plan."""
+    from mapsplit_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1100,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_distinct_hll": q_user_distinct_hll,
         "doc_weighted_sample": q_doc_weighted_sample,
         "event_quantiles": q_event_quantiles,
+        "event_geohash": q_event_geohash,
+        "doc_tfidf": q_doc_tfidf,
     }
 
 
@@ -1756,6 +1790,42 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        ROUND(quantile_cont(value, 0.75), 4) AS q75,
        ROUND(quantile_cont(value, 0.95), 4) AS q95
 FROM events GROUP BY event_type
+""",
+        # quantization arithmetic shared text (FP parity); bit shuffle +
+        # alphabet lookup restated as FLOOR/mod + SUBSTR (independent of
+        # the engine's shiftright/bitwiseAND/element_at kernel)
+        "event_geohash": f"""
+WITH p AS (SELECT event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events),
+g AS (SELECT event_id,
+             {sqlgen.geohash_ix_sql('lon', 5)} AS gx5,
+             {sqlgen.geohash_iy_sql('lat', 5)} AS gy5,
+             {sqlgen.geohash_ix_sql('lon', 8)} AS gx8,
+             {sqlgen.geohash_iy_sql('lat', 8)} AS gy8
+      FROM p)
+SELECT event_id,
+       {sqlgen.geohash_chars_sql('gx5', 'gy5', 5)} AS gh5,
+       {sqlgen.geohash_chars_sql('gx8', 'gy8', 8)} AS gh8
+FROM g
+""",
+        # same ASCII token regex as textstats.TFIDF_TOKEN_RE; rank on
+        # the ROUNDED score in both engines (tie-break term ASC)
+        "doc_tfidf": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfr.df), 4) AS tfidf
+  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n
+),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM s)
+SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= 3
 """,
     }
     # pruned-probe ANN over the derived clustered vectors: the oracle is

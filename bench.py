@@ -84,6 +84,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "user_distinct_hll",    # r5: portable HyperLogLog sketch fold
         "doc_weighted_sample",  # r5: A-ES weighted top-n per stratum
         "event_quantiles",      # r5: exact type-7 percentiles per group
+        "event_geohash",        # r5: base-32 geohash cell ids (JVM kernel)
+        "doc_tfidf",            # r5: top-k TF-IDF terms per document
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "per ancestor tile; operators/pyramid). Rolls up "
                         "the full base-zoom assignment — orthogonal to "
                         "--optimize merging and the --date-file filter")
+    p.add_argument("--geohash", type=int, default=0, metavar="PRECISION",
+                   help="also write <output>/geohash: per input element the "
+                        "base-32 geohash cell id at this precision (an "
+                        "alternative spatial bucketing key; 0 = skip)")
     p.add_argument("--payload", action="store_true",
                    help="materialize payload columns per tile (join bytes last; "
                         "P4 metadata null check aborts bad inputs)")
@@ -142,11 +146,13 @@ def main(argv=None) -> None:
             multipolygon_only=args.multipolygon_only,
         )
         manifests = pipe.run(args.input)
+        # base-zoom pairs always available (lazy read) — --pyramid needs
+        # them even when --optimize replaced the output-zoom relation
+        pairs = spark.read.parquet(
+            os.path.join(pipe.last_assignment_dir(), "data"))
         if args.optimize > 0:
             tiled = spark.read.parquet(pipe.stage_data("tiled"))
         else:
-            pairs = spark.read.parquet(
-                os.path.join(pipe.last_assignment_dir(), "data"))
             tiled = pairs.select(
                 "element_id", F.lit(args.zoom).alias("zoom"), "tile_x", "tile_y"
             ).dropDuplicates(["element_id", "tile_x", "tile_y"])
@@ -221,6 +227,15 @@ def main(argv=None) -> None:
             pairs.select("element_id", "tile_x", "tile_y"),
             args.zoom, args.pyramid,
         ).write.mode("overwrite").parquet(os.path.join(args.output, "pyramid"))
+
+    if args.geohash:
+        from mapsplit_spark.cellid import geohash_col
+
+        src.select(
+            F.col(args.id_col).alias("element_id"),
+            geohash_col(F.col(args.lon_col), F.col(args.lat_col),
+                        args.geohash).alias("geohash"),
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "geohash"))
 
     # A3 latestDate — deterministic metadata + --date-file write-back
     latest_ms = 0

@@ -17,6 +17,7 @@ weighted sample, and the reproducible hash split.  Writes:
     <output>/quantiles/  (group, n, q...)
     <output>/sample/     the weighted-sample rows
     <output>/split/      input + split column (only with --split)
+    <output>/tfidf/      top-K TF-IDF terms per doc (only with --tfidf-topk)
 
 Prints one JSON summary line.  Every output is a pure function of row
 content (portable-hash sampling/split, deterministic sketch) — re-runs,
@@ -68,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default=None,
                    help="name=weight[,name=weight...] — write the input with "
                         "a deterministic hash-split column")
+    p.add_argument("--tfidf-topk", type=int, default=0, metavar="K",
+                   help="write the top-K TF-IDF terms per document "
+                        "(0 = skip); tokenizes --text-col")
+    p.add_argument("--text-col", default="text",
+                   help="text column for --tfidf-topk")
     p.add_argument("--salt", default="")
     p.add_argument("--cores", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
@@ -121,6 +127,13 @@ def main(argv: list[str] | None = None) -> None:
             )
             samp.write.mode("overwrite").parquet(f"{args.output}/sample")
             summary["sample_rows"] = samp.count()
+
+        if args.tfidf_topk:
+            from mapsplit_spark.operators.textstats import tfidf_topk
+
+            tf = tfidf_topk(df, args.id_col, args.text_col, k=args.tfidf_topk)
+            tf.write.mode("overwrite").parquet(f"{args.output}/tfidf")
+            summary["tfidf_rows"] = tf.count()
 
         if args.split:
             weights = {}

@@ -108,6 +108,57 @@ def lang_source_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+# alpha-word tokenizer shared with the TF-IDF oracle SQL — plain ASCII
+# class so Spark (Java regex) and DuckDB (RE2) extract identical tokens
+TFIDF_TOKEN_RE = "[a-z]+"
+
+
+def tfidf_topk(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/relevance
+    weighting (tf · ln(N/df), natural log) as three partial-aggregated
+    shuffles, no UDFs:
+
+    1. tokenize (regexp_extract_all, JVM) → groupBy (doc, term) = tf;
+    2. groupBy term over the tf relation = df (each (doc, term) row is
+       distinct by construction, so COUNT(*) is document frequency);
+    3. broadcast the 1-row corpus count, score, row_number window per
+       doc ordered by (ROUND(tfidf,4) DESC, term ASC) — the ROUND is
+       part of the ORDER in BOTH engines, so rank ties are broken
+       identically and the gate stays value-exact.
+
+    At 100 TB: tf and the final window shuffle on doc-keyed relations
+    (map-side combine applies); df is |vocab|-sized; the corpus count
+    joins as a broadcast literal, never a shuffle.
+    → (doc_id, term, tf, tfidf, rk)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(TFIDF_TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_rel, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rk")
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct

@@ -232,6 +232,58 @@ def quadkey_sql(x: str, y: str, zoom: int) -> str:
     return "(" + " || ".join(digits) + ")"
 
 
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_nb(precision: int) -> tuple[int, int]:
+    total = 5 * precision
+    return (total + 1) // 2, total // 2
+
+
+def geohash_ix_sql(lon: str, precision: int) -> str:
+    """Quantized longitude index for a geohash of ``precision`` chars —
+    IDENTICAL arithmetic text to the engine's quantization (cellid.
+    geohash_col) so the float→int step is bit-deterministic across
+    engines; only the bit extraction below differs (independence at the
+    encoding layer, the tile_cellid pattern)."""
+    nb, _ = _geohash_nb(precision)
+    n = 1 << nb
+    return (f"LEAST(GREATEST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * "
+            f"{float(n)!r}) AS BIGINT), 0), {n - 1})")
+
+
+def geohash_iy_sql(lat: str, precision: int) -> str:
+    _, nb = _geohash_nb(precision)
+    n = 1 << nb
+    return (f"LEAST(GREATEST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * "
+            f"{float(n)!r}) AS BIGINT), 0), {n - 1})")
+
+
+def geohash_chars_sql(gx: str, gy: str, precision: int) -> str:
+    """Geohash string from pre-quantized indices ``gx``/``gy`` (column
+    names — compute them once in a subquery with geohash_ix/iy_sql) as
+    pure FLOOR/mod ARITHMETIC — no bit operators, dialect-portable, and
+    an independent formulation of cellid.geohash_col's shift/mask
+    shuffle.  Char k = SUBSTR(alphabet, 1 + Σ bit·2^(4−i), 1) with the
+    geohash interleave (code bit t: even → lon, odd → lat, MSB first)."""
+    nb_lon, nb_lat = _geohash_nb(precision)
+
+    def bit(t: int) -> str:
+        if t % 2 == 0:
+            v, j = gx, nb_lon - 1 - t // 2
+        else:
+            v, j = gy, nb_lat - 1 - (t - 1) // 2
+        return f"(CAST(FLOOR(({v}) / {float(2 ** j)!r}) AS BIGINT) % 2)"
+
+    chars = []
+    for k in range(precision):
+        val = " + ".join(
+            f"{bit(5 * k + i)} * {2 ** (4 - i)}" for i in range(5)
+        )
+        chars.append(f"SUBSTR('{GEOHASH_BASE32}', 1 + ({val}), 1)")
+    return "(" + " || ".join(chars) + ")"
+
+
 def clustered_vec_elem_sql(key: str, i: int, n_clusters: int) -> str:
     """Element ``i`` of a deterministic CLUSTERED embedding derived from
     an integer key: cluster ``c = key % n_clusters`` puts weight 10.0 on

@@ -99,3 +99,73 @@ def test_sessionize_stream(spark):
     for k in (1, 2):
         assert res[k].n_events == 5
         assert res[k].n_tiles == 2  # two distinct tiles per key
+
+
+# ------------------------------------------------------------- geohash
+
+def _geohash_ref(lon: float, lat: float, precision: int) -> str:
+    """Independent reference: the textbook interval-halving geohash
+    algorithm (no quantization, no bit arithmetic) — a third
+    formulation against cellid.geohash's float->int quantize + shuffle
+    and sqlgen's FLOOR/mod oracle."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    out: list[str] = []
+    val = nbits = 0
+    even = True
+    while len(out) < precision:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                val, lo_lon = val * 2 + 1, mid
+            else:
+                val, hi_lon = val * 2, mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                val, lo_lat = val * 2 + 1, mid
+            else:
+                val, hi_lat = val * 2, mid
+        even = not even
+        nbits += 1
+        if nbits == 5:
+            out.append(alphabet[val])
+            val = nbits = 0
+    return "".join(out)
+
+
+def test_geohash_known_vector_and_interval_halving_ref():
+    # canonical public test vector: geohash 'ezs42' decodes to
+    # lat 42.605, lon -5.603
+    assert cellid.geohash([-5.603], [42.605], 5)[0] == "ezs42"
+    rng = np.random.default_rng(7)
+    lon = rng.integers(-180000, 180000, 300) / 1000.0
+    lat = rng.integers(-90000, 90001, 300) / 1000.0
+    for p in (1, 5, 8, 11, 12):
+        got = cellid.geohash(lon, lat, p)
+        want = [_geohash_ref(lo, la, p) for lo, la in zip(lon, lat)]
+        assert got.tolist() == want, f"precision {p}"
+
+
+def test_geohash_col_matches_numpy(spark):
+    rng = np.random.default_rng(8)
+    lon = (rng.integers(-180000, 180000, 400) / 1000.0).tolist()
+    lat = (rng.integers(-90000, 90001, 400) / 1000.0).tolist()
+    df = spark.createDataFrame(list(zip(lon, lat)), "lon double, lat double")
+    for p in (5, 8):
+        got = [r.g for r in df.select(
+            cellid.geohash_col(F.col("lon"), F.col("lat"), p).alias("g")
+        ).collect()]
+        assert got == cellid.geohash(lon, lat, p).tolist(), f"precision {p}"
+
+
+def test_geohash_prefix_nesting():
+    """gh(p) is a prefix of gh(p') for p < p' — floor-quantization
+    nesting makes the hierarchy exact (the quadkey-prefix analog)."""
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    g12 = cellid.geohash(lon, lat, 12)
+    for p in (1, 4, 5, 8, 11):
+        gp = cellid.geohash(lon, lat, p)
+        assert all(full[:p] == pre for full, pre in zip(g12, gp))

@@ -369,3 +369,25 @@ def test_pyramid_flag_writes_rollup(spark, images_dir, outbase, capsys):
                  .agg(F.sum("n").alias("s")).collect()}
     for z in (10, 11, 12):
         assert per_level[z] <= per_level[13]
+
+
+def test_geohash_flag_writes_cell_ids(spark, images_dir, outbase, capsys):
+    """r5: --geohash P writes <out>/geohash — one base-32 cell id per
+    input element, equal to the numpy kernel on the same coords."""
+    import numpy as np
+
+    from mapsplit_spark.cellid import geohash
+
+    out = os.path.join(outbase, "gh")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--geohash", "8",
+    ], capsys)
+    got = {r.element_id: r.geohash
+           for r in spark.read.parquet(os.path.join(out, "geohash")).collect()}
+    src = spark.read.parquet(f"{images_dir}/images.parquet") \
+        .select("image_id", "lon", "lat").collect()
+    ids = [r.image_id for r in src]
+    want = dict(zip(ids, geohash(np.array([r.lon for r in src]),
+                                 np.array([r.lat for r in src]), 8)))
+    assert got == want and len(got) == len(src)

@@ -72,3 +72,26 @@ def test_clip_strtree_gate_prunes_scan_to_id(spark):
     # derived lon/lat come from event_id arithmetic — the parquet scan
     # must read ONLY event_id
     assert "ReadSchema: struct<event_id:bigint>" in plan, plan[-800:]
+
+
+def test_event_geohash_gate_is_map_only(spark):
+    """Geohash encode is a pure projection: NO exchange, NO Python —
+    at 100 TB it pipelines inside the scan stage."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["event_geohash"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<event_id:bigint>" in plan, plan[-800:]
+
+
+def test_doc_tfidf_plan_shape(spark):
+    """TF-IDF: partial-aggregated shuffles only, corpus count joins as
+    a BROADCAST (never a shuffle), no Python anywhere."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["doc_tfidf"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # tf groupBy must partial-aggregate map-side before its exchange
+    assert "partial_count" in plan

@@ -131,3 +131,38 @@ def test_ivf_pruned_recall_floor_by_probe_count(vectors):
     assert r2 >= 0.9, f"recall@3 with 2 probes degraded to {r2}"
     assert r4 == 1.0, f"recall@3 with 4 probes must be exact, got {r4}"
     assert r1 >= 0.5, f"single-probe recall floor broken: {r1}"
+
+
+def test_tfidf_topk(spark):
+    """tf·ln(N/df) against a hand-computed toy corpus: ubiquitous terms
+    score exactly 0, a unique term dominates its doc, rank ties break by
+    term ASC, ≤ k rows per doc, and the result is partitioning-
+    invariant (pure function of the corpus)."""
+    import math
+
+    from mapsplit_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the apple banana apple"),
+            (2, "the banana cherry"),
+            (3, "the cherry durian apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=3)
+    rows = {(r.doc_id, r.rk): (r.term, r.tf, r.tfidf) for r in out.collect()}
+    # 'the' appears in all docs -> ln(3/3) = 0 exactly
+    assert all(v[2] == 0.0 for v in rows.values() if v[0] == "the")
+    # doc 1 top: apple tf=2, df=2 -> 2·ln(1.5); doc 3 top: durian ln(3)
+    assert rows[(1, 1)] == ("apple", 2, round(2 * math.log(1.5), 4))
+    assert rows[(3, 1)] == ("durian", 1, round(math.log(3.0), 4))
+    # doc 3 rank 2/3: banana absent; cherry vs apple tie at ln(1.5),
+    # term ASC -> apple before cherry
+    assert rows[(3, 2)][0] == "apple" and rows[(3, 3)][0] == "cherry"
+    # ≤ k rows per doc, rk dense from 1
+    assert max(rk for _, rk in rows) <= 3
+    # partitioning-invariant
+    again = {(r.doc_id, r.rk): (r.term, r.tf, r.tfidf)
+             for r in tfidf_topk(docs.repartition(7), k=3).collect()}
+    assert again == rows

@@ -27,6 +27,7 @@ def out(tmp_path_factory):
          "--value-col", "n_chars", "--hll-p", "12",
          "--sample-n", "15", "--sample-weight", "greatest(n_chars, 1)",
          "--split", "train=0.8,val=0.1,test=0.1", "--salt", "sj",
+         "--tfidf-topk", "3", "--text-col", "text",
          "--cores", "8"],
         capture_output=True, text=True, timeout=600,
     )
@@ -95,3 +96,18 @@ def test_quantiles_within_rank_bound(out, spark):
             ap = row[f"q{str(q).replace('.', '_')}"]
             rank = sum(1 for x in v if x <= ap)
             assert abs(rank - q * row.n) <= max(2.0, row.n / 10000 + 1)
+
+
+def test_tfidf_matches_direct_operator(out, spark):
+    """r5: --tfidf-topk K writes <out>/tfidf ≡ the direct operator run
+    (pure function of the corpus — no salt involved)."""
+    d, s = out
+    from mapsplit_spark.operators.textstats import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = {(r.doc_id, r.rk): (r.term, r.tf, r.tfidf)
+            for r in tfidf_topk(docs, k=3).collect()}
+    got = {(r.doc_id, r.rk): (r.term, r.tf, r.tfidf)
+           for r in spark.read.parquet(f"{d}/tfidf").collect()}
+    assert got == want
+    assert s["tfidf_rows"] == len(got) == 1500   # 3 per doc × 500 docs
