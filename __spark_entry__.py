@@ -1049,6 +1049,20 @@ def q_doc_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_tile_focal(spark, sf_dir):
+    """Focal (neighborhood) statistics — the raster-algebra box-kernel
+    sum at Chebyshev radius 1 over the A2 per-tile histogram
+    (operators/focal.py): each tile SCATTERS its count to its (2r+1)²
+    window map-side, one partially-aggregated groupBy sums per cell —
+    scatter ≡ gather for the symmetric kernel, one exchange at any
+    radius, grid-clamped before the shuffle.  Oracle: the gather
+    formulation (counts × offsets cross join) in DuckDB."""
+    from mapsplit_spark.operators.focal import focal_sum
+    from mapsplit_spark.sinks.manifests import tile_counts
+
+    return focal_sum(tile_counts(_event_pairs(spark, sf_dir)), ZOOM, radius=1)
+
+
 def q_event_geohash(spark, sf_dir):
     """Geohash cell ids (public base-32 bit-interleave — the third cell
     encoding next to Morton/quadkey, cellid.py): per event point the
@@ -1134,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "event_geohash": q_event_geohash,
         "doc_tfidf": q_doc_tfidf,
+        "tile_focal": q_tile_focal,
     }
 
 
@@ -1806,6 +1821,27 @@ SELECT event_id,
        {sqlgen.geohash_chars_sql('gx5', 'gy5', 5)} AS gh5,
        {sqlgen.geohash_chars_sql('gx8', 'gy8', 8)} AS gh8
 FROM g
+""",
+        # GATHER formulation (counts × offsets cross join) vs the
+        # engine's map-side SCATTER — equivalent for the symmetric kernel
+        "tile_focal": f"""
+WITH c AS (
+  SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n
+  FROM ({_events_nodes_cte()}) z GROUP BY 1, 2
+),
+offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)) AS t(dx, dy)
+),
+e AS (
+  SELECT c.tile_x + offs.dx AS tile_x, c.tile_y + offs.dy AS tile_y, c.n
+  FROM c CROSS JOIN offs
+  WHERE c.tile_x + offs.dx >= 0 AND c.tile_x + offs.dx < {1 << ZOOM}
+    AND c.tile_y + offs.dy >= 0 AND c.tile_y + offs.dy < {1 << ZOOM}
+)
+SELECT tile_x, tile_y, CAST(SUM(n) AS BIGINT) AS focal_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_contrib
+FROM e GROUP BY tile_x, tile_y
 """,
         # same ASCII token regex as textstats.TFIDF_TOKEN_RE; rank on
         # the ROUNDED score in both engines (tie-break term ASC)

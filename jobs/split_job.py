@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "per ancestor tile; operators/pyramid). Rolls up "
                         "the full base-zoom assignment — orthogonal to "
                         "--optimize merging and the --date-file filter")
+    p.add_argument("--focal-radius", type=int, default=None, metavar="R",
+                   help="also write <output>/focal: box-kernel neighborhood "
+                        "sum of the base-zoom per-tile counts at Chebyshev "
+                        "radius R (raster focal statistics / heat-map "
+                        "smoothing)")
     p.add_argument("--geohash", type=int, default=0, metavar="PRECISION",
                    help="also write <output>/geohash: per input element the "
                         "base-32 geohash cell id at this precision (an "
@@ -227,6 +232,18 @@ def main(argv=None) -> None:
             pairs.select("element_id", "tile_x", "tile_y"),
             args.zoom, args.pyramid,
         ).write.mode("overwrite").parquet(os.path.join(args.output, "pyramid"))
+
+    if args.focal_radius is not None:
+        from mapsplit_spark.operators.focal import focal_sum
+        from mapsplit_spark.sinks.manifests import tile_counts
+
+        focal_sum(
+            tile_counts(
+                pairs.select("element_id", "tile_x", "tile_y")
+                .dropDuplicates(["element_id", "tile_x", "tile_y"])
+            ),
+            args.zoom, radius=args.focal_radius,
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "focal"))
 
     if args.geohash:
         from mapsplit_spark.cellid import geohash_col

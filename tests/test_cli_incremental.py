@@ -391,3 +391,28 @@ def test_geohash_flag_writes_cell_ids(spark, images_dir, outbase, capsys):
     want = dict(zip(ids, geohash(np.array([r.lon for r in src]),
                                  np.array([r.lat for r in src]), 8)))
     assert got == want and len(got) == len(src)
+
+
+def test_focal_flag_writes_neighborhood_sums(spark, images_dir, outbase, capsys):
+    """r5: --focal-radius R writes <out>/focal ≡ an independent Python
+    gather recompute over the manifests' per-tile counts."""
+    out = os.path.join(outbase, "focal")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--border", "0.1", "--focal-radius", "1",
+    ], capsys)
+    man = {(r.tile_x, r.tile_y): r.n
+           for r in spark.read.parquet(os.path.join(out, "manifests")).collect()}
+    want = {}
+    cells = {(x + dx, y + dy) for x, y in man
+             for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+    n = 1 << 13
+    for cx, cy in cells:
+        if not (0 <= cx < n and 0 <= cy < n):
+            continue
+        vals = [v for (x, y), v in man.items()
+                if abs(x - cx) <= 1 and abs(y - cy) <= 1]
+        want[(cx, cy)] = (sum(vals), len(vals))
+    got = {(r.tile_x, r.tile_y): (r.focal_sum, r.n_contrib)
+           for r in spark.read.parquet(os.path.join(out, "focal")).collect()}
+    assert got == want
