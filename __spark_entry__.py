@@ -1049,6 +1049,27 @@ def q_doc_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_lang_top_terms(spark, sf_dir):
+    """Per-language top-10 terms by raw frequency — the exact
+    heavy-hitters formulation (operators/sketches.py::exact_top_items):
+    one partial-agg shuffle on (lang, term) + the rank-pushdown window,
+    deterministic order (cnt DESC, term ASC).  The bounded-memory scale
+    path (`frequent_items_mg`: Misra-Gries candidates + exact recount,
+    the item domain never fully shuffles) is pytest-pinned to equal
+    this operator on planted heavy hitters."""
+    from mapsplit_spark.operators.sketches import exact_top_items
+    from mapsplit_spark.operators.textstats import TFIDF_TOKEN_RE
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(TFIDF_TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    )
+    return exact_top_items(toks, ["lang"], "term", 10)
+
+
 def q_tile_focal(spark, sf_dir):
     """Focal (neighborhood) statistics — the raster-algebra box-kernel
     sum at Chebyshev radius 1 over the A2 per-tile histogram
@@ -1149,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_geohash": q_event_geohash,
         "doc_tfidf": q_doc_tfidf,
         "tile_focal": q_tile_focal,
+        "lang_top_terms": q_lang_top_terms,
     }
 
 
@@ -1821,6 +1843,18 @@ SELECT event_id,
        {sqlgen.geohash_chars_sql('gx5', 'gy5', 5)} AS gh5,
        {sqlgen.geohash_chars_sql('gx8', 'gy8', 8)} AS gh8
 FROM g
+""",
+        "lang_top_terms": """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY lang, term)
+SELECT lang, term, cnt, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rk FROM c
+) WHERE rk <= 10
 """,
         # GATHER formulation (counts × offsets cross join) vs the
         # engine's map-side SCATTER — equivalent for the symmetric kernel

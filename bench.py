@@ -87,6 +87,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "event_geohash",        # r5: base-32 geohash cell ids (JVM kernel)
         "doc_tfidf",            # r5: top-k TF-IDF terms per document
         "tile_focal",           # r5: raster focal-sum (scatter kernel)
+        "lang_top_terms",       # r5: exact heavy hitters per group
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

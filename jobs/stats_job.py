@@ -18,6 +18,7 @@ weighted sample, and the reproducible hash split.  Writes:
     <output>/sample/     the weighted-sample rows
     <output>/split/      input + split column (only with --split)
     <output>/tfidf/      top-K TF-IDF terms per doc (only with --tfidf-topk)
+    <output>/top_items/  per-group exact top-K items (only with --top-items)
 
 Prints one JSON summary line.  Every output is a pure function of row
 content (portable-hash sampling/split, deterministic sketch) — re-runs,
@@ -69,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default=None,
                    help="name=weight[,name=weight...] — write the input with "
                         "a deterministic hash-split column")
+    p.add_argument("--top-items", type=int, default=0, metavar="K",
+                   help="write per-group exact top-K items by frequency "
+                        "(0 = skip); item from --item-expr")
+    p.add_argument("--item-expr", default=None,
+                   help="SQL expression for --top-items (default: id col)")
     p.add_argument("--tfidf-topk", type=int, default=0, metavar="K",
                    help="write the top-K TF-IDF terms per document "
                         "(0 = skip); tokenizes --text-col")
@@ -127,6 +133,15 @@ def main(argv: list[str] | None = None) -> None:
             )
             samp.write.mode("overwrite").parquet(f"{args.output}/sample")
             summary["sample_rows"] = samp.count()
+
+        if args.top_items:
+            from mapsplit_spark.operators.sketches import exact_top_items
+
+            items = df.select(
+                *group, F.expr(args.item_expr or args.id_col).alias("item"))
+            ti = exact_top_items(items, group, "item", args.top_items)
+            ti.write.mode("overwrite").parquet(f"{args.output}/top_items")
+            summary["top_items_rows"] = ti.count()
 
         if args.tfidf_topk:
             from mapsplit_spark.operators.textstats import tfidf_topk

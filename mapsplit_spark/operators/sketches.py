@@ -159,3 +159,70 @@ def hll_distinct(
 def hll_error_bound(p: int, n_sigma: float = 4.0) -> float:
     """Relative error bound at n_sigma standard errors — test helper."""
     return n_sigma * 1.04 / math.sqrt(1 << p)
+
+
+# ------------------------------------------------------- frequent items
+
+def exact_top_items(df: DataFrame, group_cols: list[str], item_col: str,
+                    k: int) -> DataFrame:
+    """EXACT per-group top-k items by frequency, deterministic order
+    (cnt DESC, item ASC): one partially-aggregated shuffle on
+    (group, item) + the per-group rank window (Spark pushes a partial
+    WindowGroupLimit below the window's exchange — the
+    weighted_sample TopK pattern).  The gate formulation; at 100 TB
+    with a huge item domain, pair with ``frequent_items_mg`` below.
+    → group_cols + (item_col, cnt, rk)."""
+    from pyspark.sql import Window
+
+    counted = df.groupBy(*group_cols, item_col).agg(
+        F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("cnt"), F.asc(item_col))
+    return (counted.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def frequent_items_mg(df: DataFrame, item_col: str, k: int,
+                      capacity: int = 1024) -> DataFrame:
+    """Heavy hitters at scale — Misra-Gries candidate generation +
+    exact recount (the mergeable-summaries construction, Agarwal et
+    al. 2012):
+
+    1. per partition, a bounded MG summary (≤ ``capacity`` counters;
+       batch-wise value_counts folded in, pruned by subtracting the
+       overflow quantile — the batched MG decrement) streams the
+       partition in O(capacity) memory;
+    2. the candidate UNION is a superset of the merged MG summary, so
+       every item with global count > n/capacity is guaranteed present;
+    3. an exact broadcast-semi-join recount over the candidates gives
+       true counts; top-k of those is EXACT whenever the k-th item's
+       frequency exceeds n/capacity (asserted in tests with planted
+       heavy hitters).
+
+    Shuffle cost: the recount groupBy over candidate rows only — the
+    full item domain never shuffles (vs exact_top_items, whose first
+    shuffle carries every distinct item)."""
+    import pandas as pd
+
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} must be ≥ k {k}")
+    dtype = dict(df.dtypes)[item_col]
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > capacity:
+                vals = sorted(counters.values())
+                delta = vals[len(vals) - capacity - 1]
+                counters = {i: c - delta for i, c in counters.items()
+                            if c > delta}
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    candidates = (df.select(item_col)
+                  .mapInPandas(mg, schema=f"{item_col} {dtype}")
+                  .distinct())
+    counted = (df.join(F.broadcast(candidates), item_col, "left_semi")
+               .groupBy(item_col).agg(F.count("*").cast("long").alias("cnt")))
+    return counted.orderBy(F.desc("cnt"), F.asc(item_col)).limit(k)

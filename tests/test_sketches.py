@@ -179,3 +179,56 @@ def test_approx_quantiles_within_bound(spark):
             target = q * r.n
             assert abs(rank - target) <= max(2.0, r.n / acc + 1), (
                 r.event_type, q, ex, ap)
+
+
+# ------------------------------------------------------- frequent items
+
+def test_exact_top_items_matches_counter(spark):
+    from collections import Counter
+
+    from mapsplit_spark.operators.sketches import exact_top_items
+
+    rows = [("a", w) for w in "x x x y y z q".split()] + \
+           [("b", w) for w in "m m n n n x".split()]
+    df = spark.createDataFrame(rows, "g string, item string")
+    got = {(r.g, r.rk): (r.item, r.cnt)
+           for r in exact_top_items(df, ["g"], "item", 2).collect()}
+    want = {}
+    for g in ("a", "b"):
+        c = Counter(w for gg, w in rows if gg == g)
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for i, (item, cnt) in enumerate(ranked, 1):
+            want[(g, i)] = (item, cnt)
+    assert got == want
+
+
+def test_frequent_items_mg_exact_on_planted_heavies(spark):
+    """MG candidates + exact recount recover the true top-k whenever
+    the k-th frequency exceeds n/capacity — planted zipf-ish heavies
+    over many distinct light items, tiny capacity, across
+    partitionings."""
+    from mapsplit_spark.operators.sketches import (exact_top_items,
+                                                   frequent_items_mg)
+
+    heavy = [(f"hot{i}",) for i in range(5) for _ in range(200 - 30 * i)]
+    light = [(f"cold{j}",) for j in range(2000)]
+    df = spark.createDataFrame(heavy + light, "item string")
+    # n = 2780; capacity 64 → threshold ~43 < k-th freq (80)
+    exact = [(r.item, r.cnt) for r in
+             exact_top_items(df, [], "item", 5)
+             .orderBy(F.desc("cnt"), F.asc("item")).collect()]
+    for parts in (1, 7, 32):
+        got = [(r.item, r.cnt) for r in
+               frequent_items_mg(df.repartition(parts), "item", 5,
+                                 capacity=64).collect()]
+        assert got == exact, parts
+
+
+def test_frequent_items_mg_capacity_guard(spark):
+    import pytest
+
+    from mapsplit_spark.operators.sketches import frequent_items_mg
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError, match="capacity"):
+        frequent_items_mg(df, "item", 10, capacity=5)

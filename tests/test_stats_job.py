@@ -28,6 +28,7 @@ def out(tmp_path_factory):
          "--sample-n", "15", "--sample-weight", "greatest(n_chars, 1)",
          "--split", "train=0.8,val=0.1,test=0.1", "--salt", "sj",
          "--tfidf-topk", "3", "--text-col", "text",
+         "--top-items", "4", "--item-expr", "source",
          "--cores", "8"],
         capture_output=True, text=True, timeout=600,
     )
@@ -111,3 +112,19 @@ def test_tfidf_matches_direct_operator(out, spark):
            for r in spark.read.parquet(f"{d}/tfidf").collect()}
     assert got == want
     assert s["tfidf_rows"] == len(got) == 1500   # 3 per doc × 500 docs
+
+
+def test_top_items_matches_direct_operator(out, spark):
+    """r5: --top-items K writes per-group exact heavy hitters ≡ the
+    direct operator run."""
+    d, s = out
+    from mapsplit_spark.operators.sketches import exact_top_items
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    items = docs.select("lang", F.expr("source").alias("item"))
+    want = {(r.lang, r.rk): (r.item, r.cnt)
+            for r in exact_top_items(items, ["lang"], "item", 4).collect()}
+    got = {(r.lang, r.rk): (r.item, r.cnt)
+           for r in spark.read.parquet(f"{d}/top_items").collect()}
+    assert got == want
+    assert s["top_items_rows"] == len(got)
