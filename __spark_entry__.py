@@ -40,6 +40,9 @@ ZOOM = 13
 BORDER = 0.1
 WATERMARK = "2024-01-20 00:00:00"
 EMB_DIM = 64
+CLUSTER_ZOOM = 5
+CLUSTER_DENOM = 2000  # min_pts = max(2, n_events // 2000) — SF-relative
+CMS_DEPTH = 4
 
 # derived geo keys (integer arithmetic — portable & exact)
 EV_LON = sqlgen.derived_lon_sql("event_id")
@@ -1116,6 +1119,77 @@ def q_doc_tfidf(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_tile_clusters(spark, sf_dir):
+    """Grid-density spatial clustering (DBSCAN over the tile grid,
+    operators/clustering.py): cells with ≥ min_pts events are dense;
+    8-connected dense cells share a cluster id (the component's
+    MIN cell key).  Engine builds adjacency by map-side SCATTER of ≤ 8
+    neighbour keys + one equi-join, then the pointer-jumping
+    connected-components fixpoint; the oracle states the |dense|² theta
+    join + WITH RECURSIVE reachability directly — independent
+    formulations of both the adjacency and the closure.  The density
+    threshold is SF-relative (max(2, n/2000), same floor arithmetic in
+    both engines) so the gate exercises real multi-cell components at
+    every fixture size; the count() is a 1-row driver scalar, the same
+    bounded-collect class as the IVF probe-cell ids."""
+    from mapsplit_spark.operators.clustering import grid_clusters
+
+    pts = _event_points(spark, sf_dir)
+    min_pts = max(2, pts.count() // CLUSTER_DENOM)
+    return grid_clusters(
+        pts, "event_id", "lon", "lat", CLUSTER_ZOOM, min_pts,
+    )
+
+
+def q_term_cms(spark, sf_dir):
+    """Count-Min sketch point queries (operators/sketches.py): the d×256
+    portable sketch over the corpus token stream (state ≤ depth×width
+    rows at ANY domain size), probed for the distinct tokens of a
+    deterministic doc subset; exact counts alongside, so the gate data
+    itself exhibits the CMS guarantee (est ≥ exact).  Oracle:
+    sqlgen.cms_gate_sql — the same salted-md5 row hashes run verbatim,
+    estimate restated as MIN over a plain LEFT JOIN."""
+    from mapsplit_spark.operators.sketches import cms_query, cms_sketch
+    from mapsplit_spark.operators.textstats import TFIDF_TOKEN_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(TFIDF_TOKEN_RE), F.lit(0))
+        ).alias("term"),
+    )
+    probes = (toks.filter(F.col("doc_id") % 101 == 7)
+              .select("term").distinct())
+    sk = cms_sketch(toks, "term", depth=CMS_DEPTH, portable=True)
+    est = cms_query(sk, probes, "term", depth=CMS_DEPTH, portable=True)
+    exact = toks.groupBy("term").agg(F.count("*").cast("long").alias("exact_cnt"))
+    return (
+        est.join(exact, est["item"] == exact["term"], "left")
+        .select("item", "cms_est",
+                F.coalesce("exact_cnt", F.lit(0)).cast("long").alias("exact_cnt"))
+    )
+
+
+def q_way_geometry(spark, sf_dir):
+    """Per-way polyline geometry (operators/geometry.py): haversine
+    length, bbox, and vertex centroid per lineitem 'way' (ordered by
+    linenumber) — every accumulated quantity integer-quantized
+    (mm / microdegrees) so the sums are order-independent and the gate
+    value-exact.  One shuffle: the lead() window and the aggregate
+    share the way key."""
+    from mapsplit_spark.operators.geometry import polyline_stats
+
+    nodes = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").alias("seq"),
+        F.expr(sqlgen.derived_lon_sql(NID)).alias("lon"),
+        F.expr(sqlgen.derived_lat_sql(NID)).alias("lat"),
+    )
+    return polyline_stats(nodes, "way_id", "seq", "lon", "lat")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1171,6 +1245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "tile_focal": q_tile_focal,
         "lang_top_terms": q_lang_top_terms,
+        "tile_clusters": q_tile_clusters,
+        "term_cms": q_term_cms,
+        "way_geometry": q_way_geometry,
     }
 
 
@@ -1496,6 +1573,19 @@ SELECT DISTINCT element_id, tile_x, tile_y FROM (
   UNION ALL SELECT * FROM aug
 ) u
 """
+
+
+def _way_geometry_oracle() -> str:
+    """Shared-formula (haversine/quantization text) lead()+GROUP BY
+    restatement — operators/geometry.py::polyline_stats_sql."""
+    from mapsplit_spark.operators.geometry import polyline_stats_sql
+
+    return polyline_stats_sql(
+        f"(SELECT l_orderkey AS way_id, l_linenumber AS seq, "
+        f"{sqlgen.derived_lon_sql(NID)} AS lon, "
+        f"{sqlgen.derived_lat_sql(NID)} AS lat FROM lineitem) nv",
+        "way_id", "seq", "lon", "lat",
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1877,6 +1967,41 @@ SELECT tile_x, tile_y, CAST(SUM(n) AS BIGINT) AS focal_sum,
        CAST(COUNT(*) AS BIGINT) AS n_contrib
 FROM e GROUP BY tile_x, tile_y
 """,
+        # |dense|² theta-join adjacency + WITH RECURSIVE reachability —
+        # vs the engine's scatter/equi-join + pointer-jumping fixpoint
+        "tile_clusters": f"""
+WITH RECURSIVE
+a AS ({sqlgen.assign_cte_sql(
+    "(SELECT event_id, " + EV_LON + " AS lon, " + EV_LAT
+    + " AS lat FROM events) ev",
+    "event_id", "lon", "lat", CLUSTER_ZOOM, 0.0)}),
+c AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a GROUP BY 1, 2),
+d AS (SELECT tile_x, tile_y, n,
+             CAST(tile_x AS BIGINT) * {1 << CLUSTER_ZOOM} + tile_y AS k
+      FROM c WHERE n >= (SELECT greatest(2, CAST(floor(count(*) / {CLUSTER_DENOM}.0) AS BIGINT)) FROM events)),
+e AS (SELECT x.k AS src, y.k AS dst FROM d x JOIN d y
+      ON abs(x.tile_x - y.tile_x) <= 1 AND abs(x.tile_y - y.tile_y) <= 1
+         AND x.k <> y.k),
+reach(v, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.v
+),
+comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+SELECT d.tile_x, d.tile_y, d.n, COALESCE(comp.component, d.k) AS cluster
+FROM d LEFT JOIN comp ON d.k = comp.v
+""",
+        "term_cms": sqlgen.cms_gate_sql(
+            "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+            "AS term FROM documents) tk",
+            "term",
+            "(SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
+            "'[a-z]+')) AS term FROM documents WHERE doc_id % 101 = 7) pk",
+            "term",
+            depth=CMS_DEPTH,
+        ),
+        "way_geometry": _way_geometry_oracle(),
         # same ASCII token regex as textstats.TFIDF_TOKEN_RE; rank on
         # the ROUNDED score in both engines (tie-break term ASC)
         "doc_tfidf": """

@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write <output>/geohash: per input element the "
                         "base-32 geohash cell id at this precision (an "
                         "alternative spatial bucketing key; 0 = skip)")
+    p.add_argument("--clusters", type=int, default=0, metavar="MIN_PTS",
+                   help="also write <output>/clusters: grid-density "
+                        "clustering (DBSCAN over the tile grid) — dense "
+                        "cells (≥ MIN_PTS points at --clusters-zoom) "
+                        "labelled by 8-connected component (operators/"
+                        "clustering); 0 = skip")
+    p.add_argument("--clusters-zoom", type=int, default=None,
+                   help="grid zoom for --clusters (default: min(--zoom, 8))")
     p.add_argument("--payload", action="store_true",
                    help="materialize payload columns per tile (join bytes last; "
                         "P4 metadata null check aborts bad inputs)")
@@ -253,6 +261,16 @@ def main(argv=None) -> None:
             geohash_col(F.col(args.lon_col), F.col(args.lat_col),
                         args.geohash).alias("geohash"),
         ).write.mode("overwrite").parquet(os.path.join(args.output, "geohash"))
+
+    if args.clusters:
+        from mapsplit_spark.operators.clustering import grid_clusters
+
+        cz = args.clusters_zoom if args.clusters_zoom is not None \
+            else min(args.zoom, 8)
+        grid_clusters(
+            src.select(args.id_col, args.lon_col, args.lat_col),
+            args.id_col, args.lon_col, args.lat_col, cz, args.clusters,
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
 
     # A3 latestDate — deterministic metadata + --date-file write-back
     latest_ms = 0

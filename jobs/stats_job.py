@@ -75,6 +75,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = skip); item from --item-expr")
     p.add_argument("--item-expr", default=None,
                    help="SQL expression for --top-items (default: id col)")
+    p.add_argument("--cms", type=int, default=0, metavar="K",
+                   help="write a Count-Min sketch of --item-expr "
+                        "(<output>/cms_sketch, ≤ depth×width rows) plus "
+                        "point-query estimates vs exact counts for the "
+                        "top-K items (<output>/cms); 0 = skip")
+    p.add_argument("--cms-depth", type=int, default=4)
+    p.add_argument("--cms-width", type=int, default=4096)
+    p.add_argument("--polyline", default=None, metavar="WAY:SEQ:LON:LAT",
+                   help="write per-way polyline geometry (haversine "
+                        "length_mm, bbox, centroid — operators/geometry) "
+                        "grouping the input by WAY ordered by SEQ "
+                        "(<output>/polyline)")
     p.add_argument("--tfidf-topk", type=int, default=0, metavar="K",
                    help="write the top-K TF-IDF terms per document "
                         "(0 = skip); tokenizes --text-col")
@@ -142,6 +154,35 @@ def main(argv: list[str] | None = None) -> None:
             ti = exact_top_items(items, group, "item", args.top_items)
             ti.write.mode("overwrite").parquet(f"{args.output}/top_items")
             summary["top_items_rows"] = ti.count()
+
+        if args.cms:
+            from mapsplit_spark.operators.sketches import cms_query, cms_sketch
+
+            items = df.select(F.expr(args.item_expr or args.id_col).alias("item"))
+            sk = cms_sketch(items, "item", depth=args.cms_depth,
+                            width=args.cms_width, salt=args.salt)
+            sk.write.mode("overwrite").parquet(f"{args.output}/cms_sketch")
+            # global top-K probes via TakeOrderedAndProject (no single-
+            # partition window)
+            top = (items.groupBy("item")
+                   .agg(F.count("*").cast("long").alias("exact_cnt"))
+                   .orderBy(F.desc("exact_cnt"), F.asc("item"))
+                   .limit(args.cms))
+            est = cms_query(sk, top.select("item"), "item",
+                            depth=args.cms_depth, width=args.cms_width,
+                            salt=args.salt)
+            cms = est.join(top, "item")
+            cms.write.mode("overwrite").parquet(f"{args.output}/cms")
+            summary["cms_sketch_rows"] = sk.count()
+            summary["cms_probe_rows"] = cms.count()
+
+        if args.polyline:
+            from mapsplit_spark.operators.geometry import polyline_stats
+
+            way, seq, lon, lat = args.polyline.split(":")
+            geo = polyline_stats(df, way, seq, lon, lat)
+            geo.write.mode("overwrite").parquet(f"{args.output}/polyline")
+            summary["polyline_ways"] = geo.count()
 
         if args.tfidf_topk:
             from mapsplit_spark.operators.textstats import tfidf_topk

@@ -161,6 +161,105 @@ def hll_error_bound(p: int, n_sigma: float = 4.0) -> float:
     return n_sigma * 1.04 / math.sqrt(1 << p)
 
 
+# ----------------------------------------------------- Count-Min sketch
+
+def cms_sketch(df: DataFrame, elem: str, depth: int = 4, width: int = 256,
+               salt: str = "", portable: bool = False) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the ``elem``
+    frequency vector → the mergeable state relation (rw, bucket, cnt),
+    ≤ depth × width rows REGARDLESS of the item domain — per-item
+    frequency estimates at 100 TB without ever shuffling the full
+    domain (the complement of ``frequent_items_mg``: MG answers "which
+    items are heavy", CMS answers "how heavy is THIS item" for items
+    known up front).
+
+    One partially-aggregated shuffle: each input row map-side expands
+    to its ``depth`` (rw, bucket) keys; partial counts combine before
+    the exchange, so the shuffle carries ≤ partitions × depth × width
+    rows.  NULL elements are dropped (COUNT semantics).
+
+    ``portable=True`` — width fixed at 256, salted-md5 row hashes
+    (sqlgen.cms_bucket_sql, shared verbatim with the DuckDB oracle);
+    ``portable=False`` — production xxhash64(elem, row-seed) pmod any
+    width.  Estimates are upward-biased: est ≥ true, and
+    P[est > true + 2n/width] < (1/2)^depth."""
+    df = df.filter(F.expr(elem).isNotNull())
+    if portable:
+        if width != sqlgen.CMS_WIDTH:
+            raise ValueError("portable CMS is fixed at width=256 (one md5 byte)")
+        s = f"concat('{salt}', cast({elem} as string))" if salt \
+            else f"cast({elem} as string)"
+        buckets = [F.expr(sqlgen.cms_bucket_sql(s, j)) for j in range(1, depth + 1)]
+    else:
+        e = F.expr(elem).cast("string")
+        buckets = [
+            F.pmod(F.xxhash64(e, F.lit(f"{salt}cms{j}")), F.lit(width))
+            for j in range(1, depth + 1)
+        ]
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j + 1).alias("rw"), b.cast("int").alias("bucket"))
+                for j, b in enumerate(buckets)
+            ])
+        ).alias("rb")
+    ).select(F.col("rb.rw").alias("rw"), F.col("rb.bucket").alias("bucket"))
+    return rows.groupBy("rw", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Combine two sketches of the same (depth, width, salt, hash):
+    bucket-wise sum — sketches the multiset union, so per-partition /
+    per-day sketches roll up without touching raw rows."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy("rw", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_query(sketch: DataFrame, probes: DataFrame, probe_col: str,
+              depth: int = 4, width: int = 256, salt: str = "",
+              portable: bool = False) -> DataFrame:
+    """Point-query the sketch for each probe item → (item, cms_est).
+    Each probe expands to its ``depth`` (rw, bucket) keys and takes the
+    MIN count over the rows it hashes to (missing bucket = 0).  The
+    sketch side is ≤ depth × width rows — always broadcastable."""
+    if portable:
+        if width != sqlgen.CMS_WIDTH:
+            raise ValueError("portable CMS is fixed at width=256 (one md5 byte)")
+        s = f"concat('{salt}', cast({probe_col} as string))" if salt \
+            else f"cast({probe_col} as string)"
+        buckets = [F.expr(sqlgen.cms_bucket_sql(s, j)) for j in range(1, depth + 1)]
+    else:
+        e = F.expr(probe_col).cast("string")
+        buckets = [
+            F.pmod(F.xxhash64(e, F.lit(f"{salt}cms{j}")), F.lit(width))
+            for j in range(1, depth + 1)
+        ]
+    pr = probes.select(
+        F.col(probe_col).alias("item"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j + 1).alias("rw"), b.cast("int").alias("bucket"))
+                for j, b in enumerate(buckets)
+            ])
+        ).alias("rb"),
+    ).select("item", F.col("rb.rw").alias("rw"), F.col("rb.bucket").alias("bucket"))
+    return (
+        pr.join(F.broadcast(sketch), ["rw", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
+def cms_error_bound(n: int, width: int) -> float:
+    """ε·n overestimate bound with ε = 2/width (e/width for the e-based
+    variant; the 2/width form matches the two-universal construction) —
+    test helper: P[est − true > 2n/width] < 2^−depth."""
+    return 2.0 * n / width
+
+
 # ------------------------------------------------------- frequent items
 
 def exact_top_items(df: DataFrame, group_cols: list[str], item_col: str,

@@ -146,6 +146,18 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     )
 
 
+def udeg_sql(x: str) -> str:
+    """Microdegrees as BIGINT — the exact integer quantization both
+    engines agree on, making downstream SUM/AVG order-independent
+    (float sums are not)."""
+    return f"CAST(ROUND(({x}) * 1000000, 0) AS BIGINT)"
+
+
+def mm_from_km_sql(km: str) -> str:
+    """Kilometres → millimetres as BIGINT (exact-summable lengths)."""
+    return f"CAST(ROUND(({km}) * 1000000, 0) AS BIGINT)"
+
+
 def dot_sql(a: str, b: str, dim: int, one_based: bool) -> str:
     """Unrolled dot product of two fixed-dim float vectors with explicit
     left-to-right summation order and double casts — deterministic and
@@ -447,6 +459,58 @@ def hll_inv_pow2_sql(rho: str, max_rho: int = 25) -> str:
     )
     return f"(CASE {cases} ELSE 1.0 END)"
 
+
+# ---------------------------------------------------------- Count-Min sketch
+
+CMS_WIDTH = 256                  # portable variant: one md5 byte per row hash
+
+
+def cms_bucket_sql(s: str, j: int) -> str:
+    """Row-``j`` Count-Min bucket (width 256) of string expression
+    ``s``: the first byte of md5 salted with the row index — an
+    independent hash per sketch row (Cormode & Muthukrishnan 2005 use
+    d pairwise-independent hashes; salted md5 prefixes are the portable
+    stand-in, same construction as the HLL/winnow portable variants).
+    Identical text in Spark SQL and DuckDB."""
+    salted = f"concat('cms{j}|', {s})"
+    return f"({md5_nibble_sql(salted, 1)} * 16 + {md5_nibble_sql(salted, 2)})"
+
+
+def cms_gate_sql(src: str, elem: str, probe_src: str, probe_col: str,
+                 depth: int = 4) -> str:
+    """Complete portable Count-Min gate query: build the d×256 sketch
+    over ``elem`` rows of ``src``, then answer point queries for the
+    probe items — estimate = min over rows of the hashed bucket's
+    count (0 if the bucket is empty), alongside the exact count.
+    Generated ONCE, run verbatim by Spark and DuckDB."""
+    s = f"cast({elem} as string)"
+    p = f"cast({probe_col} as string)"
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {j} AS rw, {cms_bucket_sql(s, j)} AS bucket, "
+        f"COUNT(*) AS cnt FROM {src} GROUP BY 2"
+        for j in range(1, depth + 1)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {probe_col} AS item, {j} AS rw, {cms_bucket_sql(p, j)} AS bucket "
+        f"FROM {probe_src}"
+        for j in range(1, depth + 1)
+    )
+    return f"""
+WITH sk AS ({sketch_rows}),
+pr AS ({probe_rows}),
+est AS (
+  SELECT pr.item, MIN(COALESCE(sk.cnt, 0)) AS cms_est
+  FROM pr LEFT JOIN sk ON pr.rw = sk.rw AND pr.bucket = sk.bucket
+  GROUP BY pr.item
+),
+ex AS (SELECT {elem} AS item, COUNT(*) AS exact_cnt FROM {src} GROUP BY 1)
+SELECT est.item, CAST(est.cms_est AS BIGINT) AS cms_est,
+       CAST(COALESCE(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt
+FROM est LEFT JOIN ex ON est.item = ex.item
+"""
+
+
+# --------------------------------------------------------------- HLL sketch
 
 HLL_M = 256                      # p = 8 (portable variant is fixed-width)
 HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M

@@ -416,3 +416,25 @@ def test_focal_flag_writes_neighborhood_sums(spark, images_dir, outbase, capsys)
     got = {(r.tile_x, r.tile_y): (r.focal_sum, r.n_contrib)
            for r in spark.read.parquet(os.path.join(out, "focal")).collect()}
     assert got == want
+
+
+def test_clusters_flag_matches_direct_operator(spark, images_dir, outbase, capsys):
+    """r5: --clusters MIN_PTS writes <out>/clusters ≡ the grid_clusters
+    operator on the same points at the same zoom."""
+    from mapsplit_spark.operators.clustering import grid_clusters
+
+    out = os.path.join(outbase, "clu")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--clusters", "3", "--clusters-zoom", "6",
+    ], capsys)
+    got = sorted(
+        tuple(r) for r in
+        spark.read.parquet(os.path.join(out, "clusters")).collect()
+    )
+    src = spark.read.parquet(f"{images_dir}/images.parquet")
+    want = sorted(
+        tuple(r) for r in
+        grid_clusters(src, "image_id", "lon", "lat", 6, 3).collect()
+    )
+    assert got == want and len(got) > 0

@@ -232,3 +232,99 @@ def test_frequent_items_mg_capacity_guard(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError, match="capacity"):
         frequent_items_mg(df, "item", 10, capacity=5)
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+def _cms_tokens(spark):
+    """Deterministic skewed token stream: item i appears (40 - i) times
+    for i in 0..39 plus a 200-item light tail."""
+    rows = [(f"hot{i}",) for i in range(40) for _ in range(40 - i)]
+    rows += [(f"tail{i}",) for i in range(200)]
+    return spark.createDataFrame(rows, "term string")
+
+
+def test_cms_never_underestimates(spark):
+    from mapsplit_spark.operators.sketches import cms_query, cms_sketch
+
+    df = _cms_tokens(spark)
+    exact = {r.term: r.cnt for r in
+             df.groupBy("term").agg(F.count("*").alias("cnt")).collect()}
+    probes = spark.createDataFrame([(t,) for t in exact], "term string")
+    for portable, width in ((True, 256), (False, 1024)):
+        sk = cms_sketch(df, "term", depth=4, width=width, portable=portable)
+        est = {r.item: r.cms_est
+               for r in cms_query(sk, probes, "term", depth=4, width=width,
+                                  portable=portable).collect()}
+        assert est.keys() == exact.keys()
+        assert all(est[t] >= exact[t] for t in exact)
+
+
+def test_cms_exact_at_wide_width(spark):
+    """width ≫ distinct items → an estimate only exceeds the true count
+    if some item collides in ALL depth rows; with these fixed hashes it
+    does not (deterministic — salts are part of the construction)."""
+    from mapsplit_spark.operators.sketches import cms_query, cms_sketch
+
+    df = _cms_tokens(spark)
+    exact = {r.term: r.cnt for r in
+             df.groupBy("term").agg(F.count("*").alias("cnt")).collect()}
+    probes = spark.createDataFrame([(t,) for t in exact], "term string")
+    sk = cms_sketch(df, "term", depth=5, width=8192)
+    est = {r.item: r.cms_est
+           for r in cms_query(sk, probes, "term", depth=5, width=8192).collect()}
+    assert est == exact
+
+
+def test_cms_absent_item_estimates_zero_or_collision(spark):
+    from mapsplit_spark.operators.sketches import cms_query, cms_sketch
+
+    df = _cms_tokens(spark)
+    sk = cms_sketch(df, "term", depth=5, width=8192)
+    probes = spark.createDataFrame([("nosuchtoken",)], "term string")
+    [row] = cms_query(sk, probes, "term", depth=5, width=8192).collect()
+    assert row.cms_est == 0
+
+
+def test_cms_merge_equals_combined_sketch(spark):
+    from mapsplit_spark.operators.sketches import cms_merge, cms_sketch
+
+    df = _cms_tokens(spark)
+    a = df.filter(F.crc32(F.col("term")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("term")) % 2 == 1)
+    merged = {(r.rw, r.bucket): r.cnt for r in cms_merge(
+        cms_sketch(a, "term", depth=4, width=512),
+        cms_sketch(b, "term", depth=4, width=512),
+    ).collect()}
+    whole = {(r.rw, r.bucket): r.cnt
+             for r in cms_sketch(df, "term", depth=4, width=512).collect()}
+    assert merged == whole
+
+
+def test_cms_portable_buckets_match_python_md5(spark):
+    import hashlib
+
+    from mapsplit_spark.operators.sketches import cms_sketch
+
+    rows = [("alpha",), ("beta",), ("alpha",), ("gamma",)]
+    df = spark.createDataFrame(rows, "term string")
+    sk = {(r.rw, r.bucket): r.cnt
+          for r in cms_sketch(df, "term", depth=3, portable=True).collect()}
+    expect: dict = {}
+    for (t,) in rows:
+        for j in (1, 2, 3):
+            h = hashlib.md5(f"cms{j}|{t}".encode()).hexdigest()
+            key = (j, int(h[:2], 16))
+            expect[key] = expect.get(key, 0) + 1
+    assert sk == expect
+
+
+def test_cms_sketch_state_is_bounded_and_jvm_side(spark):
+    from mapsplit_spark.operators.sketches import cms_sketch
+
+    df = spark.range(100_000).select(F.col("id").cast("string").alias("term"))
+    sk = cms_sketch(df, "term", depth=4, width=64)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan                       # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert sk.count() <= 4 * 64                          # state ≤ d×w rows

@@ -29,6 +29,7 @@ def out(tmp_path_factory):
          "--split", "train=0.8,val=0.1,test=0.1", "--salt", "sj",
          "--tfidf-topk", "3", "--text-col", "text",
          "--top-items", "4", "--item-expr", "source",
+         "--cms", "10", "--cms-width", "1024",
          "--cores", "8"],
         capture_output=True, text=True, timeout=600,
     )
@@ -128,3 +129,45 @@ def test_top_items_matches_direct_operator(out, spark):
            for r in spark.read.parquet(f"{d}/top_items").collect()}
     assert got == want
     assert s["top_items_rows"] == len(got)
+
+
+def test_cms_estimates_never_under_exact(out, spark):
+    d, s = out
+    cms = spark.read.parquet(f"{d}/cms").collect()
+    assert 0 < len(cms) <= 10
+    assert all(r.cms_est >= r.exact_cnt for r in cms)
+    sk = spark.read.parquet(f"{d}/cms_sketch")
+    assert sk.count() <= 4 * 1024                  # state ≤ depth × width
+    assert s["cms_probe_rows"] == len(cms)
+
+
+def test_polyline_flag_matches_direct_operator(tmp_path, spark):
+    from mapsplit_spark.operators.geometry import polyline_stats
+
+    traces = spark.createDataFrame(
+        [(w, s, 10.0 + w + 0.1 * s, 40.0 - 0.05 * s)
+         for w in range(4) for s in range(5)],
+        "way_id long, seq int, lon double, lat double",
+    )
+    src = tmp_path / "traces.parquet"
+    traces.write.parquet(str(src))
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/jobs/stats_job.py",
+         "--input", str(src), "--output", str(tmp_path / "out"),
+         "--id-col", "way_id", "--group-col", "way_id",
+         "--value-col", "lon",
+         "--polyline", "way_id:seq:lon:lat", "--cores", "4"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["polyline_ways"] == 4
+    got = sorted(
+        tuple(row) for row in
+        spark.read.parquet(str(tmp_path / "out" / "polyline")).collect()
+    )
+    want = sorted(
+        tuple(row) for row in
+        polyline_stats(traces, "way_id", "seq", "lon", "lat").collect()
+    )
+    assert got == want
