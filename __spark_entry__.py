@@ -1190,6 +1190,53 @@ def q_way_geometry(spark, sf_dir):
     return polyline_stats(nodes, "way_id", "seq", "lon", "lat")
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Train→test contamination via winnow fingerprints
+    (operators/contamination.py): test docs (doc_id % 5 = 0) sharing
+    ≥ 2 winnow fingerprints with a training doc, after dropping
+    ubiquitous fingerprints (doc frequency > 20 — the exact hot-key
+    cap).  One fp equi-join, never the test×train theta join; the
+    winnowing guarantee makes misses impossible for any shared
+    substring ≥ w+k−1 chars.  Oracle restates it over DuckDB's
+    list-based winnow CTE (the doc_winnow formulation, kept exploded)."""
+    from mapsplit_spark.operators.contamination import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    test_ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return contamination_pairs(docs, test_ids, max_df=20, min_shared=2,
+                               portable=True)
+
+
+def q_ring_zonal(spark, sf_dir):
+    """Zonal statistics over the 48-ring fixture (operators/clip.py::
+    zone_assign): per containing OUTER ring, the point count and an
+    exact id checksum — the raster-algebra 'zonal sum' over vector
+    zones.  The STR-tree pair descent emits (point, zone) rows; the
+    aggregation is a plain partial-agg groupBy.  Oracle: 40 unrolled
+    per-ring ring_pip_sql aggregates UNION ALL'd (same even-odd
+    formula text as the clip gates)."""
+    import numpy as np
+
+    from mapsplit_spark.operators.clip import zone_assign
+
+    def ring_np(vs):
+        r = np.array(vs, dtype=np.float64)
+        return (r, (r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()))
+
+    za = zone_assign(
+        _event_points(spark, sf_dir),
+        [ring_np(v) for v in CLIP_MULTI_OUTERS],
+        [ring_np(v) for v in CLIP_MULTI_HOLES],
+        id_col="event_id", use_index=True,
+    )
+    return za.groupBy("zone").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1248,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_clusters": q_tile_clusters,
         "term_cms": q_term_cms,
         "way_geometry": q_way_geometry,
+        "doc_contamination": q_doc_contamination,
+        "ring_zonal": q_ring_zonal,
     }
 
 
@@ -1573,6 +1622,26 @@ SELECT DISTINCT element_id, tile_x, tile_y FROM (
   UNION ALL SELECT * FROM aug
 ) u
 """
+
+
+def _ring_zonal_oracle() -> str:
+    """40 unrolled per-ring even-odd aggregates (ring_pip_sql formula
+    text shared with the clip gates; the per-zone UNION ALL plan is the
+    oracle's own)."""
+    holes = " OR ".join(
+        sqlgen.ring_pip_sql("lon", "lat", r) for r in CLIP_MULTI_HOLES
+    )
+    per_zone = " UNION ALL ".join(
+        f"SELECT {i} AS zone, CAST(count(*) AS BIGINT) AS n_points, "
+        f"CAST(sum(event_id) AS BIGINT) AS id_sum FROM p "
+        f"WHERE ({sqlgen.ring_pip_sql('lon', 'lat', ring)}) "
+        f"AND NOT ({holes}) HAVING count(*) > 0"
+        for i, ring in enumerate(CLIP_MULTI_OUTERS)
+    )
+    return (
+        f"WITH p AS (SELECT event_id, {EV_LON} AS lon, {EV_LAT} AS lat "
+        f"FROM events) {per_zone}"
+    )
 
 
 def _way_geometry_oracle() -> str:
@@ -2002,6 +2071,33 @@ FROM d LEFT JOIN comp ON d.k = comp.v
             depth=CMS_DEPTH,
         ),
         "way_geometry": _way_geometry_oracle(),
+        # doc_winnow's list CTE kept EXPLODED, then df-filter + split +
+        # fp equi-join — the engine's operator never sees this SQL
+        "doc_contamination": r"""
+WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_transform(range(1, greatest(length(norm) - 4, 1) + 1),
+         i -> md5(substr(norm, i, 5))) AS gh FROM nrm
+),
+wmins AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(gh) - 3, 1) + 1),
+         j -> list_min(gh[j:j+3])) AS mins FROM g
+),
+fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wmins),
+keep AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fp GROUP BY 1)
+         WHERE c <= 20),
+fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+t AS (SELECT * FROM fpk WHERE doc_id % 5 = 0),
+r AS (SELECT * FROM fpk WHERE doc_id % 5 <> 0)
+SELECT t.doc_id AS test_id, r.doc_id AS train_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM t JOIN r ON t.fp = r.fp
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+        "ring_zonal": _ring_zonal_oracle(),
         # same ASCII token regex as textstats.TFIDF_TOKEN_RE; rank on
         # the ROUNDED score in both engines (tie-break term ASC)
         "doc_tfidf": """

@@ -88,6 +88,11 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "doc_tfidf",            # r5: top-k TF-IDF terms per document
         "tile_focal",           # r5: raster focal-sum (scatter kernel)
         "lang_top_terms",       # r5: exact heavy hitters per group
+        "tile_clusters",        # r5: grid-density DBSCAN + components
+        "term_cms",             # r5: Count-Min sketch point queries
+        "way_geometry",         # r5: polyline length/bbox/centroid
+        "doc_contamination",    # r5: winnow-fp train/test leakage join
+        "ring_zonal",           # r5: per-ring zonal stats (pair descent)
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

@@ -75,6 +75,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="winnowing k-gram size")
     p.add_argument("--winnow-w", type=int, default=4,
                    help="winnowing window size")
+    p.add_argument("--contamination", default=None, metavar="TEST_IDS_PARQUET",
+                   help="with --winnow: check the --winnow docs for "
+                        "train→test n-gram leakage against this held-out "
+                        "id set (operators/contamination); writes "
+                        "<output>/contamination_pairs and "
+                        "<output>/decontaminated (training corpus with "
+                        "flagged docs removed)")
+    p.add_argument("--contamination-max-df", type=int, default=20,
+                   help="drop fingerprints shared by more than this many "
+                        "docs (boilerplate cap)")
+    p.add_argument("--contamination-min-shared", type=int, default=2,
+                   help="flag a pair at ≥ this many shared fingerprints")
     p.add_argument("--audio", default=None, metavar="AUDIO_PARQUET",
                    help="audio parquet (audio_id, bytes: int16 mono PCM) — "
                         "writes per-row features (n_samples/duration/rms/"
@@ -188,6 +200,32 @@ def main(argv: list[str] | None = None) -> None:
             n_winnow_dup_groups = spark.read.parquet(
                 f"{args.output}/winnow_dups").count()
 
+        n_contam_pairs = n_decontaminated = None
+        if args.contamination:
+            if not args.winnow:
+                raise SystemExit("--contamination requires --winnow DOCS")
+            from mapsplit_spark.operators.contamination import (
+                contamination_pairs,
+                decontaminate,
+            )
+
+            docs = spark.read.parquet(args.winnow)
+            test_ids = spark.read.parquet(args.contamination)
+            ckw = dict(k=args.winnow_k, w=args.winnow_w,
+                       max_df=args.contamination_max_df,
+                       min_shared=args.contamination_min_shared,
+                       portable=False)
+            cp = contamination_pairs(docs, test_ids, **ckw)
+            cp.write.mode("overwrite").parquet(
+                f"{args.output}/contamination_pairs")
+            n_contam_pairs = spark.read.parquet(
+                f"{args.output}/contamination_pairs").count()
+            clean = decontaminate(docs, test_ids, **ckw)
+            clean.write.mode("overwrite").parquet(
+                f"{args.output}/decontaminated")
+            n_decontaminated = spark.read.parquet(
+                f"{args.output}/decontaminated").count()
+
         n_audio = None
         if args.audio:
             from mapsplit_spark.operators.multimodal import audio_features
@@ -206,6 +244,8 @@ def main(argv: list[str] | None = None) -> None:
             "frame_pairs": n_frame_pairs,
             "winnow_docs": n_winnow_docs,
             "winnow_dup_groups": n_winnow_dup_groups,
+            "contamination_pairs": n_contam_pairs,
+            "decontaminated_rows": n_decontaminated,
             "pairs": pairs.count(),
             "dup_members": comp.count(),
             "dup_groups": comp.select("component").distinct().count(),

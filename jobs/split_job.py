@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write <output>/geohash: per input element the "
                         "base-32 geohash cell id at this precision (an "
                         "alternative spatial bucketing key; 0 = skip)")
+    p.add_argument("--zonal", action="store_true",
+                   help="with --poly: also write <output>/zones — per "
+                        "outer-ring point counts (zonal statistics over "
+                        "the clip polygons; operators/clip.zone_assign)")
     p.add_argument("--clusters", type=int, default=0, metavar="MIN_PTS",
                    help="also write <output>/clusters: grid-density "
                         "clustering (DBSCAN over the tile grid) — dense "
@@ -188,6 +192,18 @@ def main(argv=None) -> None:
             kept = clip_tiles(pairs.select("tile_x", "tile_y").distinct(),
                               outers, inners, args.zoom)
             pairs = clip_assignments(pairs, kept)
+            if args.zonal:
+                from mapsplit_spark.operators.clip import zone_assign
+
+                za = zone_assign(
+                    src.select(args.id_col, args.lon_col, args.lat_col),
+                    outers, inners, id_col=args.id_col,
+                    lon_col=args.lon_col, lat_col=args.lat_col,
+                )
+                za.groupBy("zone").agg(
+                    F.count("*").cast("long").alias("n_points")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(args.output, "zones"))
 
         # §2.5 optimize — output-zoom relation (element_id, zoom, tile_x,
         # tile_y); payload/raster keys derive from the SAME merged

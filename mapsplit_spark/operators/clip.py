@@ -96,9 +96,19 @@ def _in_any_indexed(px, py, flat, tree) -> np.ndarray:
     formula is ``_pip``'s verbatim, so parities (and therefore the
     result) are bit-equal to the linear scan."""
     hit = np.zeros(px.shape[0], dtype=bool)
+    p_in, _ = _pairs_indexed(px, py, flat, tree)
+    hit[p_in] = True
+    return hit
+
+
+def _pairs_indexed(px, py, flat, tree):
+    """(point_idx, ring_idx) pairs with the point INSIDE the ring —
+    the per-zone variant of ``_in_any_indexed`` (same descent, same
+    batched even-odd refine, no OR-collapse)."""
+    empty = np.zeros(0, dtype=np.int64)
     p_idx, r_idx = query_strtree(tree, px, py)
     if p_idx.size == 0:
-        return hit
+        return empty, empty
     vx, vy, off, lens = flat
     counts = lens[r_idx]
     total = int(counts.sum())
@@ -119,8 +129,24 @@ def _in_any_indexed(px, py, flat, tree) -> np.ndarray:
     per_pair = np.add.reduceat(cross.astype(np.int64), starts) \
         if starts.size else np.zeros(0, dtype=np.int64)
     inside = (per_pair % 2).astype(bool)
-    hit[p_idx[inside]] = True
-    return hit
+    return p_idx[inside], r_idx[inside]
+
+
+def _pairs_linear(px, py, rings):
+    """(point_idx, ring_idx) inside-pairs by per-ring scan (no
+    first-match short-circuit — every containing ring reports)."""
+    ps, rs = [], []
+    for ri, (ring, (x0, x1, y0, y1)) in enumerate(rings):
+        cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+        if cand.any():
+            idx = np.nonzero(cand)[0]
+            ok = _pip(px[idx], py[idx], ring)
+            ps.append(idx[ok])
+            rs.append(np.full(int(ok.sum()), ri, dtype=np.int64))
+    if not ps:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(ps), np.concatenate(rs)
 
 
 def _membership_fn(rings, use_index):
@@ -184,6 +210,51 @@ def clip_points(points_df: DataFrame, outers, inners,
             yield pdf[keep]
 
     return points_df.mapInPandas(run, points_df.schema)
+
+
+def zone_assign(points_df: DataFrame, outers, inners,
+                id_col: str = "element_id",
+                lon_col: str = "lon", lat_col: str = "lat",
+                use_index: bool | str = "auto") -> DataFrame:
+    """Zonal assignment — the per-zone refinement of ``clip_points``:
+    → (id_col, zone) with ``zone`` = 0-based index of each OUTER ring
+    containing the point (one row per containing ring, so overlapping
+    zones each count the point); points inside any inner (hole) ring
+    are dropped entirely, matching the clip semantics.
+
+    Zonal statistics (the raster-algebra zonal sum/count over vector
+    zones) are then one plain groupBy("zone") away — partial-aggregated
+    JVM-side, so the Python stage only emits (id, zone) pairs.  Same
+    broadcast/index story as clip_points: the ring set + STR tree ship
+    once per executor; candidates per point are bounded by ring
+    overlap, not ring count."""
+    if use_index is True or (use_index == "auto"
+                             and len(outers) >= STRTREE_MIN_RINGS):
+        tree = build_strtree(np.array([b for _, b in outers]))
+        flat = _flatten_rings(outers)
+        pairs_fn = lambda px, py: _pairs_indexed(px, py, flat, tree)  # noqa: E731
+    else:
+        pairs_fn = lambda px, py: _pairs_linear(px, py, outers)  # noqa: E731
+    in_inner = _membership_fn(inners, use_index)
+    id_type = dict(points_df.dtypes)[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            p_idx, r_idx = pairs_fn(px, py)
+            if inners and p_idx.size:
+                keep = ~in_inner(px, py)[p_idx]
+                p_idx, r_idx = p_idx[keep], r_idx[keep]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[p_idx],
+                "zone": r_idx.astype(np.int32),
+            })
+
+    return points_df.select(id_col, lon_col, lat_col).mapInPandas(
+        run, f"{id_col} {id_type}, zone int")
 
 
 def broadcast_polygon_index(spark, outers, inners, use_index: bool | str = True):

@@ -438,3 +438,28 @@ def test_clusters_flag_matches_direct_operator(spark, images_dir, outbase, capsy
         grid_clusters(src, "image_id", "lon", "lat", 6, 3).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_zonal_flag_writes_per_ring_counts(spark, images_dir, outbase, capsys):
+    """r5: --poly --zonal writes <out>/zones ≡ a direct zone_assign +
+    groupBy over the same rings and points."""
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.clip import load_rings, zone_assign
+
+    out = os.path.join(outbase, "zonal")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13", "--poly", f"{images_dir}/clip_polygons.parquet",
+        "--zonal",
+    ], capsys)
+    got = {r.zone: r.n_points
+           for r in spark.read.parquet(os.path.join(out, "zones")).collect()}
+    src = spark.read.parquet(f"{images_dir}/images.parquet")
+    outers, inners = load_rings(
+        spark.read.parquet(f"{images_dir}/clip_polygons.parquet"), None)
+    za = zone_assign(src.select("image_id", "lon", "lat"), outers, inners,
+                     id_col="image_id")
+    want = {r.zone: r.n for r in
+            za.groupBy("zone").agg(F.count("*").alias("n")).collect()}
+    assert got == want and sum(got.values()) > 0

@@ -190,3 +190,38 @@ def test_dedup_job_audio_features(spark, tmp_path, capsys):
     assert set(af.columns) == {"audio_id", "n_samples", "duration_sec",
                                "rms", "peak", "zero_cross_rate"}
     assert af.filter("n_samples = 800").count() == 5
+
+
+def test_dedup_job_contamination_chain(spark, tmp_path, capsys):
+    """--winnow + --contamination: the planted leaked doc is flagged
+    against its test twin and dropped from <out>/decontaminated."""
+    leak = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [(0, f"benchmark item {leak} held out"),
+         (1, "clean training doc about pyramids and manifests"),
+         (2, f"scraped page with {leak} embedded in noise"),
+         (3, "another clean doc mentioning geohash interleaves")],
+        "doc_id long, text string")
+    docs_p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_p)
+    tids_p = str(tmp_path / "test_ids.parquet")
+    docs.filter("doc_id = 0").select("doc_id").write.parquet(tids_p)
+    # --input still needs a hash corpus; reuse the docs ids as fake hashes
+    imgs_p = str(tmp_path / "imgs.parquet")
+    docs.selectExpr("cast(doc_id as string) AS image_id",
+                    "doc_id * 1024 AS phash").write.parquet(imgs_p)
+    out = str(tmp_path / "out")
+    dedup_main([
+        "--input", imgs_p, "--output", out, "--bands", "4",
+        "--winnow", docs_p,
+        "--contamination", tids_p, "--contamination-min-shared", "1",
+        "--contamination-max-df", "3",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["contamination_pairs"] >= 1
+    pairs = spark.read.parquet(f"{out}/contamination_pairs").collect()
+    assert {(r.test_id, r.train_id) for r in pairs} == {(0, 2)}
+    kept = {r.doc_id for r in
+            spark.read.parquet(f"{out}/decontaminated").collect()}
+    assert kept == {0, 1, 3}
+    assert summary["decontaminated_rows"] == 3

@@ -137,3 +137,72 @@ def test_clip_points_indexed_and_bc_match_linear(spark):
     via_bc = sorted(r.id for r in clip_points_bc(df, bc).collect())
     assert base == via_bc
     bc.unpersist()
+
+
+# --------------------------------------------------------- zonal assignment
+
+def _zone_rings():
+    import numpy as np
+
+    def ring_np(vs):
+        r = np.array(vs, dtype=np.float64)
+        return (r, (r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()))
+
+    sq = lambda cx, cy, h: [  # noqa: E731
+        (cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h), (cx - h, cy + h)]
+    outers = [ring_np(sq(0.0, 0.0, 2.0)),     # zone 0
+              ring_np(sq(1.0, 0.0, 2.0)),     # zone 1 — overlaps zone 0
+              ring_np(sq(50.0, 50.0, 1.0))]   # zone 2 — disjoint
+    holes = [ring_np(sq(0.5, 0.0, 0.25))]     # hole inside zones 0 and 1
+    return outers, holes
+
+
+def _zone_points(spark):
+    pts = [
+        (1, -1.5, 0.0),   # zone 0 only
+        (2, 0.2, 0.0),    # zones 0 and 1 (overlap)
+        (3, 2.5, 0.0),    # zone 1 only
+        (4, 50.0, 50.0),  # zone 2
+        (5, 0.5, 0.0),    # inside the hole → dropped
+        (6, 20.0, 20.0),  # nowhere
+    ]
+    return spark.createDataFrame(pts, "pid long, lon double, lat double")
+
+
+def test_zone_assign_matches_expected_membership(spark):
+    from mapsplit_spark.operators.clip import zone_assign
+
+    outers, holes = _zone_rings()
+    got = sorted(
+        (r.pid, r.zone) for r in
+        zone_assign(_zone_points(spark), outers, holes,
+                    id_col="pid", use_index=False).collect()
+    )
+    assert got == [(1, 0), (2, 0), (2, 1), (3, 1), (4, 2)]
+
+
+def test_zone_assign_indexed_equals_linear(spark):
+    from mapsplit_spark.operators.clip import zone_assign
+
+    outers, holes = _zone_rings()
+    pts = _zone_points(spark)
+    lin = sorted((r.pid, r.zone) for r in
+                 zone_assign(pts, outers, holes, id_col="pid",
+                             use_index=False).collect())
+    idx = sorted((r.pid, r.zone) for r in
+                 zone_assign(pts, outers, holes, id_col="pid",
+                             use_index=True).collect())
+    assert lin == idx
+
+
+def test_zone_assign_no_holes(spark):
+    from mapsplit_spark.operators.clip import zone_assign
+
+    outers, _ = _zone_rings()
+    got = sorted(
+        (r.pid, r.zone) for r in
+        zone_assign(_zone_points(spark), outers, [],
+                    id_col="pid", use_index=True).collect()
+    )
+    # the hole point (5) now lands in both overlapping zones
+    assert got == [(1, 0), (2, 0), (2, 1), (3, 1), (4, 2), (5, 0), (5, 1)]
