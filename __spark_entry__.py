@@ -33,7 +33,7 @@ from mapsplit_spark.operators.propagate import (  # noqa: E402
     way_tiles,
 )
 from mapsplit_spark.operators.similarity import cosine_topk  # noqa: E402
-from mapsplit_spark.operators import textstats  # noqa: E402
+from mapsplit_spark.operators import geometry, textstats  # noqa: E402
 from mapsplit_spark.sinks.manifests import tile_counts, tile_manifests  # noqa: E402
 
 ZOOM = 13
@@ -1237,6 +1237,91 @@ def q_ring_zonal(spark, sf_dir):
     )
 
 
+HEX_S_COARSE = 4.0  # lattice circumradii (degrees) for the hex gate
+HEX_S_FINE = 0.7
+DWITHIN_MOD = 7     # gate subset: event_id % 7 == 0 (oracle is O(n²))
+DWITHIN_KM = 400.0
+
+
+def q_event_hexcell(spark, sf_dir):
+    """Hexagonal cell ids (the H3 lattice analog, hexgrid.py): per
+    event point the axial (q, r) cell at two lattice sizes via cube
+    rounding — JVM column arithmetic (hex_cell_cols: codegen, map-only,
+    no UDF), gated against the sqlgen.hex_qr_sql oracle formulation.
+    The cube-round arithmetic text is shared for FP parity (the
+    geohash pattern); the independent check is the nearest-center
+    brute force in tests/test_hexgrid.py (hexagons are the lattice's
+    Voronoi cells, so containment ≡ nearest center)."""
+    from mapsplit_spark.hexgrid import hex_cell_cols
+
+    pts = _event_points(spark, sf_dir)
+    qc, rc = hex_cell_cols(F.col("lon"), F.col("lat"), HEX_S_COARSE)
+    qf, rf = hex_cell_cols(F.col("lon"), F.col("lat"), HEX_S_FINE)
+    return pts.select(
+        "event_id",
+        qc.alias("hq_c"), rc.alias("hr_c"),
+        qf.alias("hq_f"), rf.alias("hr_f"),
+    )
+
+
+def q_knn_hex(spark, sf_dir):
+    """kNN via HEX k-ring candidate generation + exact haversine
+    re-rank — the north star's H3-kRing wording on the engine's own
+    hex lattice (knn.knn_hex).  Exact at any density: per-level
+    coverage proof (inscribed-square meridian/parallel bounds over the
+    k-disk's guaranteed degree radius), disk-radius escalation, brute
+    force for the unprovable tail — so the oracle is the exact-kNN
+    brute-force SQL.  Distinct query points from the tile-ring knn
+    gates (different derivation key)."""
+    from mapsplit_spark.operators.knn import knn_hex
+
+    qk = "(n_nationkey * 53 + 7)"
+    queries_df = _t(spark, sf_dir, "nation").filter("n_nationkey < 5").select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        F.expr(sqlgen.derived_lon_sql(qk)).alias("q_lon"),
+        F.expr(sqlgen.derived_lat_sql(qk)).alias("q_lat"),
+    )
+    points = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("point_id"),
+        F.expr(EV_LON).alias("p_lon"),
+        F.expr(EV_LAT).alias("p_lat"),
+    )
+    return knn_hex(queries_df, points, s_deg=2.0, k=5).withColumnRenamed("rank", "rnk")
+
+
+def q_points_dwithin(spark, sf_dir):
+    """Within-distance spatial self-join (operators/dwithin.py): every
+    pair of subset points within 400 km — grid method over the hex
+    lattice with a LAT-ADAPTIVE scatter radius (the 1/cos(lat) lon-span
+    blowup is paid only by the cells that sit there) and antimeridian
+    ghosting; the refine uses original coordinates, so every distance
+    is bit-identical to the oracle's brute-force O(n²) restatement.
+    The gate runs on the event_id % 7 subset because the ORACLE is
+    quadratic; the engine side takes any DataFrame."""
+    from mapsplit_spark.operators.dwithin import dwithin_pairs
+
+    pts = _event_points(spark, sf_dir).filter(
+        F.col("event_id") % DWITHIN_MOD == 0)
+    return dwithin_pairs(pts, "event_id", "lon", "lat", DWITHIN_KM)
+
+
+def q_user_trajectory(spark, sf_dir):
+    """Per-user GPS-trace statistics (geometry.trajectory_stats): the
+    event stream as a trajectory — path length (exact integer mm per
+    step), longest step, net first→last displacement, duration,
+    tortuosity.  One shuffle: the lag window and the groupBy share the
+    user partitioning (exchange reuse pinned in tests/test_hexgrid.py).
+    Oracle: the DuckDB window restatement with arg_min/arg_max
+    endpoints (trajectory_stats_sql)."""
+    from mapsplit_spark.operators.geometry import trajectory_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat"),
+    )
+    return trajectory_stats(ev, "user_id", "ts", "event_id", "lon", "lat")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1297,6 +1382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_geometry": q_way_geometry,
         "doc_contamination": q_doc_contamination,
         "ring_zonal": q_ring_zonal,
+        "event_hexcell": q_event_hexcell,
+        "knn_hex": q_knn_hex,
+        "points_dwithin": q_points_dwithin,
+        "user_trajectory": q_user_trajectory,
     }
 
 
@@ -2179,6 +2268,48 @@ comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
         "WITH RECURSIVE " + phash_pairs_ctes
         + "SELECT doc_id FROM documents "
         + "WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> component)"
+    )
+    # hex cell ids: sqlgen cube-round formulation (arithmetic text
+    # shared for FP parity; the independent check is the nearest-center
+    # brute force in tests/test_hexgrid.py)
+    hqc, hrc = sqlgen.hex_qr_sql("lon", "lat", HEX_S_COARSE)
+    hqf, hrf = sqlgen.hex_qr_sql("lon", "lat", HEX_S_FINE)
+    oracles["event_hexcell"] = f"""
+WITH p AS (SELECT event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events)
+SELECT event_id, {hqc} AS hq_c, {hrc} AS hr_c,
+       {hqf} AS hq_f, {hrf} AS hr_f
+FROM p
+"""
+    # hex-ring kNN is EXACT by the coverage-proof ladder (brute-force
+    # tail), so its oracle is the exact-kNN SQL over its own query set
+    qk2 = "(n_nationkey * 53 + 7)"
+    hav_knn = sqlgen.haversine_sql("q_lat", "q_lon", "p_lat", "p_lon")
+    oracles["knn_hex"] = f"""
+WITH q AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         {sqlgen.derived_lon_sql(qk2)} AS q_lon, {sqlgen.derived_lat_sql(qk2)} AS q_lat
+  FROM nation WHERE n_nationkey < 5
+),
+p AS (SELECT event_id AS point_id, {EV_LON} AS p_lon, {EV_LAT} AS p_lat FROM events),
+d AS (SELECT query_id, point_id, ROUND({hav_knn}, 6) AS dist_km FROM q CROSS JOIN p),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_km ASC, point_id ASC) AS rnk FROM d)
+SELECT query_id, rnk, point_id, dist_km FROM r WHERE rnk <= 5
+"""
+    # DWithin: brute-force O(n²) restatement on the same subset; the
+    # ROUND-then-compare matches the engine's refine exactly (the
+    # distance expression text is shared, so boundary pairs agree)
+    hav_dw = sqlgen.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    oracles["points_dwithin"] = f"""
+WITH p AS (SELECT event_id AS pid, {EV_LON} AS lon, {EV_LAT} AS lat
+           FROM events WHERE event_id % {DWITHIN_MOD} = 0)
+SELECT a.pid AS id_a, b.pid AS id_b, ROUND({hav_dw}, 6) AS dist_km
+FROM p a JOIN p b ON a.pid < b.pid
+WHERE ROUND({hav_dw}, 6) <= {DWITHIN_KM!r}
+"""
+    oracles["user_trajectory"] = geometry.trajectory_stats_sql(
+        f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"
+        " FROM events) ev",
+        "user_id", "ts", "event_id", "lon", "lat",
     )
     # the tile-ring kNN provably covers the exact top-k at z4/ring2 for
     # this density, so its oracle is the exact-kNN SQL itself; likewise

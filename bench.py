@@ -93,6 +93,10 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "way_geometry",         # r5: polyline length/bbox/centroid
         "doc_contamination",    # r5: winnow-fp train/test leakage join
         "ring_zonal",           # r5: per-ring zonal stats (pair descent)
+        "event_hexcell",        # r5: hex lattice cell ids (cube round)
+        "knn_hex",              # r5: hex k-disk kNN + coverage ladder
+        "points_dwithin",       # r5: within-distance self-join (grid method)
+        "user_trajectory",      # r5: per-user trace stats, one shuffle
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

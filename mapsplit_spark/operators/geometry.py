@@ -103,3 +103,114 @@ SELECT {way_col},
        CAST(ROUND(CAST(SUM(_lat_u) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS c_lat_u
 FROM e GROUP BY {way_col}
 """
+
+
+def trajectory_stats(events: DataFrame, user_col: str, ts_col: str,
+                     id_col: str, lon_col: str, lat_col: str) -> DataFrame:
+    """Per-user GPS-trace statistics — the TIME-ordered twin of
+    ``polyline_stats`` (a trajectory is a polyline whose vertex order
+    is the event timeline, ties broken by event id so the order — and
+    therefore every step — is total and deterministic).
+
+    → one row per user: (user_col, n_pts, n_moves, path_mm,
+    max_step_mm, net_mm, duration_us, tortuosity_pct) where path_mm is
+    the summed haversine step length (exact integer millimetres per
+    step, so the sum is order-independent), net_mm the first→last
+    displacement, duration_us the covered time span, and
+    tortuosity_pct = round(100·path/net) (how far off the straight
+    line the trace wanders; NULL for net = 0).
+
+    Spark shape: ONE shuffle — lag window and groupBy share the
+    user-partitioning, so Catalyst reuses the exchange (pinned in
+    tests/test_hexgrid.py); endpoints come from min_by/max_by on the
+    in-window row number, not a second self-join.
+    """
+    from .temporal import _micros
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    hav = sqlgen.haversine_sql("_plat", "_plon", "_lat", "_lon")
+    net = sqlgen.haversine_sql("_alat", "_alon", "_zlat", "_zlon")
+    ts_us = _micros(F.col(ts_col), events.schema[ts_col].dataType)
+    stepped = events.select(
+        F.col(user_col),
+        F.col(ts_col), F.col(id_col), ts_us.alias("_ts_us"),
+        F.expr(lon_col).cast("double").alias("_lon"),
+        F.expr(lat_col).cast("double").alias("_lat"),
+    ).withColumns({
+        "_rn": F.row_number().over(w),
+        "_plon": F.lag("_lon").over(w),
+        "_plat": F.lag("_lat").over(w),
+    }).withColumn(
+        "_step_mm",
+        F.when(F.col("_plon").isNotNull(), F.expr(sqlgen.mm_from_km_sql(hav))),
+    )
+    agg = stepped.groupBy(user_col).agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.count("_step_mm").cast("long").alias("n_moves"),
+        F.coalesce(F.sum("_step_mm"), F.lit(0)).cast("long").alias("path_mm"),
+        F.coalesce(F.max("_step_mm"), F.lit(0)).cast("long").alias("max_step_mm"),
+        F.min_by("_lon", "_rn").alias("_alon"),
+        F.min_by("_lat", "_rn").alias("_alat"),
+        F.max_by("_lon", "_rn").alias("_zlon"),
+        F.max_by("_lat", "_rn").alias("_zlat"),
+        (F.max("_ts_us") - F.min("_ts_us")).cast("long").alias("duration_us"),
+    )
+    return agg.select(
+        user_col, "n_pts", "n_moves", "path_mm", "max_step_mm",
+        F.expr(sqlgen.mm_from_km_sql(net)).alias("net_mm"),
+        "duration_us",
+        F.when(
+            F.expr(sqlgen.mm_from_km_sql(net)) > 0,
+            F.round(F.lit(100.0) * F.col("path_mm")
+                    / F.expr(sqlgen.mm_from_km_sql(net)), 0).cast("long"),
+        ).alias("tortuosity_pct"),
+    )
+
+
+def trajectory_stats_sql(src: str, user_col: str, ts_col: str,
+                         id_col: str, lon_col: str, lat_col: str) -> str:
+    """DuckDB-oracle twin of ``trajectory_stats`` — shared
+    haversine/quantization formula text, independent relational plan
+    (DuckDB window + arg_min/arg_max endpoints on the trace-order row
+    number; arg_min takes no composite key, hence the _rn CTE)."""
+    hav = sqlgen.haversine_sql("_plat", "_plon", "_lat", "_lon")
+    net = sqlgen.haversine_sql("_alat", "_alon", "_zlat", "_zlon")
+    return f"""
+WITH v AS (
+  SELECT {user_col}, {ts_col} AS _ts, {id_col} AS _id,
+         CAST({lon_col} AS DOUBLE) AS _lon, CAST({lat_col} AS DOUBLE) AS _lat,
+         ROW_NUMBER() OVER
+           (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}) AS _rn,
+         LAG(CAST({lon_col} AS DOUBLE)) OVER
+           (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}) AS _plon,
+         LAG(CAST({lat_col} AS DOUBLE)) OVER
+           (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}) AS _plat
+  FROM {src}
+),
+e AS (
+  SELECT {user_col}, _ts, _rn, _lon, _lat,
+         CASE WHEN _plon IS NOT NULL
+              THEN {sqlgen.mm_from_km_sql(hav)} END AS _step_mm
+  FROM v
+),
+a AS (
+  SELECT {user_col},
+         CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(COUNT(_step_mm) AS BIGINT) AS n_moves,
+         CAST(COALESCE(SUM(_step_mm), 0) AS BIGINT) AS path_mm,
+         CAST(COALESCE(MAX(_step_mm), 0) AS BIGINT) AS max_step_mm,
+         ARG_MIN(_lon, _rn) AS _alon,
+         ARG_MIN(_lat, _rn) AS _alat,
+         ARG_MAX(_lon, _rn) AS _zlon,
+         ARG_MAX(_lat, _rn) AS _zlat,
+         CAST(EPOCH_US(MAX(_ts)) - EPOCH_US(MIN(_ts)) AS BIGINT) AS duration_us
+  FROM e GROUP BY {user_col}
+)
+SELECT {user_col}, n_pts, n_moves, path_mm, max_step_mm,
+       {sqlgen.mm_from_km_sql(net)} AS net_mm,
+       duration_us,
+       CASE WHEN {sqlgen.mm_from_km_sql(net)} > 0
+            THEN CAST(ROUND(100.0 * path_mm / {sqlgen.mm_from_km_sql(net)}, 0) AS BIGINT)
+       END AS tortuosity_pct
+FROM a
+"""

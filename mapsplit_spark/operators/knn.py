@@ -329,3 +329,133 @@ def knn_tiled_bucketed(queries: DataFrame, points_path: str, zoom: int,
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hex-lattice kNN — the H3 "kRing candidate generation + exact haversine
+# re-rank" named by the north star, on the engine's hex lattice
+# (hexgrid.py) instead of the slippy quadtree.  Same exactness contract
+# as knn_tiled: accept a query's top-k only when PROVABLY covered,
+# escalate the disk radius otherwise, brute-force the unprovable tail.
+
+
+def _hex_assigned(df: DataFrame, id_out: str, lon: str, lat: str,
+                  s_deg: float) -> DataFrame:
+    from ..hexgrid import hex_cell_cols
+
+    q, r = hex_cell_cols(F.col(lon), F.col(lat), s_deg)
+    return df.select(
+        F.col(df.columns[0]).alias(id_out), lon, lat,
+        q.alias("hq"), r.alias("hr"),
+    )
+
+
+def _hex_disk_cells(qt: DataFrame, k: int, keep: list[str]) -> DataFrame:
+    """Explode each query to its hex k-disk (3k(k+1)+1 cells — the H3
+    kRing analog).  Offsets are distinct and each point lives in exactly
+    one cell, so (query, point) candidates need no dedup."""
+    from ..hexgrid import hex_disk_offsets
+
+    offs = hex_disk_offsets(k)
+    return qt.withColumn(
+        "o", F.explode(F.array(*[
+            F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+            for dq, dr in offs
+        ]))
+    ).select(
+        *keep,
+        (F.col("hq") + F.col("o.dq")).alias("hq"),
+        (F.col("hr") + F.col("o.dr")).alias("hr"),
+    )
+
+
+def _hex_coverage_km(qt: DataFrame, k: int, s_deg: float) -> DataFrame:
+    """Per query: a conservative lower bound (km) on the ground distance
+    to any point OUTSIDE the probed k-disk.
+
+    Chain of bounds (each step conservative):
+    * degree plane: every point within ρ = hexgrid.covered_radius_deg(k, s)
+      of the query is in a disk cell (lattice geometry, validated in
+      tests/test_hexgrid.py) — so every UNPROBED point lies outside the
+      axis-aligned square of half-side ρ/√2 inscribed in that disk;
+    * ground: a point beyond the square's west/east edge is beyond that
+      edge's meridian — distance ≥ R·asin(cos φ_q · |sin Δλ|) (exact
+      distance to the full great circle); beyond the north/south edge —
+      ≥ R·|Δφ| to the parallel;
+    * a square crossing the antimeridian gets lon coverage 0 (the hex
+      lattice does not wrap, so cross-seam neighbours are never probed:
+      those queries must escalate to the brute-force tail — a ~ρ/360
+      fraction); a square swallowing a pole has that side fully covered
+      (no points beyond the pole).
+    """
+    from ..hexgrid import covered_radius_deg
+
+    rho = covered_radius_deg(k, s_deg)
+    half = rho / float(2 ** 0.5)
+    meridian = (
+        f"{EARTH_R_KM!r} * ASIN(LEAST(1.0, COS(RADIANS(q_lat)) * "
+        f"ABS(SIN(RADIANS({half!r})))))"
+    )
+    lon_cov = F.when(F.abs(F.col("q_lon")) + F.lit(half) > 180.0, F.lit(0.0)) \
+        .otherwise(F.expr(meridian))
+    parallel = F.lit(EARTH_R_KM) * F.radians(F.lit(half))
+    north_cov = F.when(F.col("q_lat") + F.lit(half) >= 90.0, F.lit(_FAR_KM)) \
+        .otherwise(parallel)
+    south_cov = F.when(F.col("q_lat") - F.lit(half) <= -90.0, F.lit(_FAR_KM)) \
+        .otherwise(parallel)
+    return qt.select(
+        "query_id", F.least(lon_cov, north_cov, south_cov).alias("cov_km")
+    )
+
+
+def knn_hex(queries: DataFrame, points: DataFrame, s_deg: float,
+            k: int = 5, k0: int = 1, k_max: int = 8,
+            escalate: bool = True) -> DataFrame:
+    """Hex k-disk candidate generation + exact haversine re-rank.
+
+    queries(query_id, q_lon, q_lat) × points(point_id, p_lon, p_lat) →
+    (query_id, rank, point_id, dist_km): the exact top-k at any density.
+
+    The points side is hex-assigned ONCE (the lattice is fixed —
+    escalation grows the probed DISK, never re-projects the big table,
+    the same no-rescan property the quadtree ladder gets from bit-shift
+    coarsening); each level joins the pending queries' exploded k-disk
+    (broadcast — query side is small by definition) against the point
+    cells, re-ranks by exact haversine, and accepts only queries whose
+    k-th distance is provably inside the disk (``_hex_coverage_km``).
+    Unproven queries escalate k ×2 up to ``k_max``, then fall back to
+    brute force (sparse regions + the antimeridian seam, which the
+    non-wrapping lattice never covers).
+
+    Like knn_tiled, ``escalate=True`` runs eagerly at call time (the
+    per-level accept decision needs each level's coverage proof).
+    """
+    pending = queries.select("query_id", "q_lon", "q_lat")
+    pt = _hex_assigned(points.select("point_id", "p_lon", "p_lat"),
+                       "point_id", "p_lon", "p_lat", s_deg)
+    results: list[DataFrame] = []
+    kk = k0
+    while kk <= k_max:
+        qt = _hex_assigned(pending, "query_id", "q_lon", "q_lat", s_deg)
+        cells = _hex_disk_cells(qt, kk, ["query_id", "q_lon", "q_lat"])
+        cands = F.broadcast(cells).join(pt, ["hq", "hr"]).select(
+            "query_id", "q_lon", "q_lat", "point_id", "p_lon", "p_lat"
+        )
+        ranked = _ranked(cands, k)
+        if not escalate:
+            return ranked
+        ranked = ranked.localCheckpoint(eager=True)
+        proven = _proven(ranked, _hex_coverage_km(qt, kk, s_deg), k)
+        results.append(ranked.join(F.broadcast(proven), "query_id", "left_semi"))
+        pending = pending.join(F.broadcast(proven), "query_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if pending.isEmpty():
+            break
+        kk *= 2
+    else:
+        results.append(knn_bruteforce(pending, points, k))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

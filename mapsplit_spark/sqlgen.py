@@ -541,3 +541,38 @@ SELECT {g}, CAST(n_reg AS BIGINT) AS n_reg,
        ROUND({HLL_ALPHA_M2!r} / sum_inv, 3) AS hll_estimate
 FROM s
 """
+
+
+def _hex_frac_sql(lon: str, lat: str, s: float) -> tuple[str, str]:
+    """Fractional axial coords (qf, rf) of the pointy-top hex lattice
+    with circumradius ``s`` degrees — arithmetic text token-identical
+    to hexgrid.hex_cell / hex_cell_cols so all three formulations
+    produce bit-identical doubles (the geohash FP-parity pattern)."""
+    from .hexgrid import ONE_THIRD, SQRT3_OVER_3, TWO_THIRDS
+
+    qf = f"((({lon}) * {SQRT3_OVER_3!r} - ({lat}) * {ONE_THIRD!r}) / {s!r})"
+    rf = f"((({lat}) * {TWO_THIRDS!r}) / {s!r})"
+    return qf, rf
+
+
+def hex_qr_sql(lon: str, lat: str, s: float) -> tuple[str, str]:
+    """(q_sql, r_sql): the axial cell of point (lon, lat) via cube
+    rounding — round the three fractional cube coords, then repair the
+    component with the largest rounding error so q+r+s=0.  FLOOR(x+0.5)
+    is used instead of ROUND so both engines share one tie rule.
+    The DuckDB-oracle formulation of hexgrid.hex_cell (the engine's
+    independence check is the nearest-center brute force in
+    tests/test_hexgrid.py)."""
+    qf, rf = _hex_frac_sql(lon, lat, s)
+    sf = f"((0.0 - {qf}) - {rf})"
+    rq = f"CAST(FLOOR({qf} + 0.5) AS BIGINT)"
+    rr = f"CAST(FLOOR({rf} + 0.5) AS BIGINT)"
+    rs = f"CAST(FLOOR({sf} + 0.5) AS BIGINT)"
+    dq = f"ABS({rq} - {qf})"
+    dr = f"ABS({rr} - {rf})"
+    ds = f"ABS({rs} - {sf})"
+    fix_q = f"({dq} > {dr} AND {dq} > {ds})"
+    fix_r = f"(NOT {fix_q} AND {dr} > {ds})"
+    q = f"(CASE WHEN {fix_q} THEN (0 - {rr}) - {rs} ELSE {rq} END)"
+    r = f"(CASE WHEN {fix_r} THEN (0 - {rq}) - {rs} ELSE {rr} END)"
+    return q, r
