@@ -1322,6 +1322,107 @@ def q_user_trajectory(spark, sf_dir):
     return trajectory_stats(ev, "user_id", "ts", "event_id", "lon", "lat")
 
 
+# synthetic road network for the snap gate: per user, a short eastbound
+# polyline with a deterministic lat wiggle; probe points are vertex
+# offsets.  The vertex arithmetic is SHARED TEXT (F.expr here, verbatim
+# in the oracle CTE) over the window row number — FP parity by
+# construction.
+SNAP_VX = f"({sqlgen.derived_lon_sql('user_id')} + 0.02 * rn)"
+SNAP_VY = f"({sqlgen.derived_lat_sql('user_id')} + 0.005 * ((rn * 7) % 11))"
+SNAP_PLON = f"({SNAP_VX} + 0.004 * (CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END))"
+SNAP_PLAT = f"({SNAP_VY} + 0.003 * (CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE -1.0 END))"
+SNAP_KM = 2.0
+
+
+def q_point_snap(spark, sf_dir):
+    """Snap-to-nearest-segment (map matching primitive,
+    operators/snap.py): every 5th trace point snaps to the nearest
+    road segment within 2 km under the shared local-plane metric
+    (snap_dist_sql) — per-segment lat-adaptive hex scatter, one
+    equi-join, partial-agg min(struct) winner.  Roads are a
+    deterministic per-user polyline derived from the events window
+    (SNAP_VX/VY — shared text with the oracle); the oracle restates
+    the query as the brute-force points × segments cross join."""
+    from pyspark.sql.window import Window
+
+    from mapsplit_spark.operators.snap import snap_to_segments
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts") \
+        .withColumn("rn", F.row_number().over(w))
+    verts = base.select(
+        "user_id", "event_id", "rn",
+        F.expr(SNAP_VX).alias("vx"), F.expr(SNAP_VY).alias("vy"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("rn")
+    segs = verts.withColumns({
+        "x2": F.lead("vx").over(wv), "y2": F.lead("vy").over(wv),
+    }).filter(F.col("x2").isNotNull()).select(
+        F.col("user_id").alias("way_id"), F.col("rn").alias("seq"),
+        F.col("vx").alias("x1"), F.col("vy").alias("y1"), "x2", "y2",
+    )
+    points = base.filter(F.col("event_id") % 5 == 0).select(
+        F.col("event_id").alias("pid"),
+        F.expr(SNAP_PLON).alias("lon"), F.expr(SNAP_PLAT).alias("lat"),
+    )
+    return snap_to_segments(points, segs, d_km=SNAP_KM)
+
+
+RASTER_ZOOM = 7  # vector→raster gate: 128×128 global grid
+
+
+def q_ring_raster(spark, sf_dir):
+    """Vector→raster conversion (the north star's raster↔vector
+    surface): rasterize the 40-ring zone fixture onto the z7 tile grid
+    by center-in-polygon — the ENGINE runs the production STR-tree
+    Arrow kernel (clip.zone_assign) over a GENERATED tile-center grid
+    (16 k rows at z7; a higher-zoom raster would bbox-prune candidates
+    first), then joins the z13 event tile assignment (quadtree
+    bit-shift, never re-projected) against the covered cells.  → per
+    zone: covered-tile count + events landing in covered cells.
+    Oracle: 40 unrolled ring_pip_sql predicates over a generate_series
+    grid — an INDEPENDENT even-odd formulation (the ring_zonal
+    pattern), sharing only the tile-center arithmetic text."""
+    import numpy as np
+
+    from mapsplit_spark.operators.clip import zone_assign
+
+    n = 1 << RASTER_ZOOM
+    d = ZOOM - RASTER_ZOOM
+
+    def ring_np(vs):
+        r = np.array(vs, dtype=np.float64)
+        return (r, (r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()))
+
+    grid = spark.range(n).select(F.col("id").cast("int").alias("x")) \
+        .withColumn("y", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+    centers = grid.select(
+        (F.col("x").cast("long") * n + F.col("y")).alias("cell_id"),
+        F.expr(sqlgen.tile2lon_sql("x + 0.5", RASTER_ZOOM)).alias("lon"),
+        F.expr(sqlgen.tile2lat_sql("y + 0.5", RASTER_ZOOM)).alias("lat"),
+    )
+    za = zone_assign(centers, [ring_np(v) for v in CLIP_MULTI_OUTERS], [],
+                     id_col="cell_id", use_index=True)
+    raster = za.select(
+        F.col("zone").cast("int").alias("zone"),
+        (F.col("cell_id") / n).cast("long").alias("x"),
+        F.pmod(F.col("cell_id"), F.lit(n)).cast("long").alias("y"),
+    )
+    ev = assign_tiles(_event_points(spark, sf_dir), "event_id", "lon", "lat",
+                      ZOOM).select(
+        F.shiftright("tile_x", d).cast("long").alias("x"),
+        F.shiftright("tile_y", d).cast("long").alias("y"),
+    )
+    n_tiles = raster.groupBy("zone").agg(
+        F.count("*").cast("long").alias("n_tiles"))
+    n_events = ev.join(F.broadcast(raster), ["x", "y"]).groupBy("zone").agg(
+        F.count("*").cast("long").alias("n_events"))
+    return n_tiles.join(n_events, "zone", "left").select(
+        "zone", "n_tiles",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1386,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hex": q_knn_hex,
         "points_dwithin": q_points_dwithin,
         "user_trajectory": q_user_trajectory,
+        "point_snap": q_point_snap,
+        "ring_raster": q_ring_raster,
     }
 
 
@@ -2305,6 +2408,60 @@ WITH p AS (SELECT event_id AS pid, {EV_LON} AS lon, {EV_LAT} AS lat
 SELECT a.pid AS id_a, b.pid AS id_b, ROUND({hav_dw}, 6) AS dist_km
 FROM p a JOIN p b ON a.pid < b.pid
 WHERE ROUND({hav_dw}, 6) <= {DWITHIN_KM!r}
+"""
+    rz_n = 1 << RASTER_ZOOM
+    rz_d = 1 << (ZOOM - RASTER_ZOOM)
+    rz_members = "\n  UNION ALL ".join(
+        f"SELECT {i} AS zone, x, y FROM c WHERE "
+        + sqlgen.ring_pip_sql("lon", "lat", ring)
+        for i, ring in enumerate(CLIP_MULTI_OUTERS)
+    )
+    rz_assign = sqlgen.assign_cte_sql(
+        "(SELECT event_id, " + EV_LON + " AS lon, " + EV_LAT
+        + " AS lat FROM events) evp",
+        "event_id", "lon", "lat", ZOOM, 0.0,
+    )
+    oracles["ring_raster"] = f"""
+WITH g AS (SELECT gx.x AS x, gy.y AS y
+           FROM generate_series(0, {rz_n - 1}) gx(x),
+                generate_series(0, {rz_n - 1}) gy(y)),
+c AS (SELECT x, y, {sqlgen.tile2lon_sql('x + 0.5', RASTER_ZOOM)} AS lon,
+             {sqlgen.tile2lat_sql('y + 0.5', RASTER_ZOOM)} AS lat FROM g),
+m AS (
+  {rz_members}
+),
+ev AS (SELECT CAST(FLOOR(tile_x / {rz_d}.0) AS BIGINT) AS x,
+              CAST(FLOOR(tile_y / {rz_d}.0) AS BIGINT) AS y
+       FROM ({rz_assign}) z),
+t AS (SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_tiles FROM m GROUP BY zone),
+e2 AS (SELECT m.zone, CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM ev JOIN m ON ev.x = m.x AND ev.y = m.y GROUP BY m.zone)
+SELECT CAST(t.zone AS INT) AS zone, t.n_tiles,
+       CAST(COALESCE(e2.n_events, 0) AS BIGINT) AS n_events
+FROM t LEFT JOIN e2 ON t.zone = e2.zone
+"""
+    from mapsplit_spark.operators.snap import snap_dist_sql
+    snap_d = snap_dist_sql("plon", "plat", "x1", "y1", "x2", "y2")
+    oracles["point_snap"] = f"""
+WITH t AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+v AS (SELECT user_id, event_id, rn, {SNAP_VX} AS vx, {SNAP_VY} AS vy FROM t),
+s AS (SELECT user_id AS way_id, rn AS seq, vx AS x1, vy AS y1,
+             LEAD(vx) OVER (PARTITION BY user_id ORDER BY rn) AS x2,
+             LEAD(vy) OVER (PARTITION BY user_id ORDER BY rn) AS y2
+      FROM v),
+seg AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+p AS (SELECT event_id AS pid, {SNAP_PLON} AS plon, {SNAP_PLAT} AS plat
+      FROM v WHERE event_id % 5 = 0),
+c AS (SELECT pid, way_id, seq, ROUND({snap_d}, 6) AS dist_km
+      FROM p CROSS JOIN seg),
+f AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY pid ORDER BY dist_km, way_id, seq) AS rk
+      FROM c WHERE dist_km <= {SNAP_KM!r})
+SELECT pid, way_id, seq, dist_km FROM f WHERE rk = 1
 """
     oracles["user_trajectory"] = geometry.trajectory_stats_sql(
         f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"

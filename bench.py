@@ -97,6 +97,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "knn_hex",              # r5: hex k-disk kNN + coverage ladder
         "points_dwithin",       # r5: within-distance self-join (grid method)
         "user_trajectory",      # r5: per-user trace stats, one shuffle
+        "point_snap",           # r5: snap-to-segment map matching
+        "ring_raster",          # r5: vector→raster tile coverage
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

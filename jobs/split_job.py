@@ -93,6 +93,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write <output>/geohash: per input element the "
                         "base-32 geohash cell id at this precision (an "
                         "alternative spatial bucketing key; 0 = skip)")
+    p.add_argument("--hexgrid", type=float, default=0.0, metavar="SIZE_DEG",
+                   help="also write <output>/hexcells: per input element the "
+                        "axial hex cell (hq, hr) of the H3-analog lattice "
+                        "with this circumradius in degrees (0 = skip)")
+    p.add_argument("--raster", type=int, default=None, metavar="ZOOM",
+                   help="with --poly: also write <output>/raster — the "
+                        "polygon rasterized onto this zoom's tile grid by "
+                        "tile-center containment (vector→raster)")
+    p.add_argument("--snap", metavar="SEGMENTS_PARQUET", default=None,
+                   help="also write <output>/snapped: each input element "
+                        "snapped to its nearest segment (way_id, seq, x1, "
+                        "y1, x2, y2) within --snap-km (map matching)")
+    p.add_argument("--snap-km", type=float, default=2.0,
+                   help="snap radius in km for --snap (default 2)")
+    p.add_argument("--dwithin", type=float, default=0.0, metavar="KM",
+                   help="also write <output>/dwithin_pairs: all input "
+                        "element pairs within this ground distance "
+                        "(0 = skip)")
     p.add_argument("--zonal", action="store_true",
                    help="with --poly: also write <output>/zones — per "
                         "outer-ring point counts (zonal statistics over "
@@ -277,6 +295,64 @@ def main(argv=None) -> None:
             geohash_col(F.col(args.lon_col), F.col(args.lat_col),
                         args.geohash).alias("geohash"),
         ).write.mode("overwrite").parquet(os.path.join(args.output, "geohash"))
+
+    if args.hexgrid:
+        from mapsplit_spark.hexgrid import hex_cell_cols
+
+        hq, hr = hex_cell_cols(F.col(args.lon_col), F.col(args.lat_col),
+                               args.hexgrid)
+        src.select(
+            F.col(args.id_col).alias("element_id"),
+            hq.alias("hq"), hr.alias("hr"),
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "hexcells"))
+
+    if args.raster is not None and args.poly:
+        import numpy as np
+
+        from mapsplit_spark import sqlgen, tilemath
+        from mapsplit_spark.operators import clip as _clip
+
+        outers, inners = load_rings(spark.read.parquet(args.poly), args.poly_id)
+        # bbox-pruned candidate grid (the rings live on the driver)
+        bb = np.array([b for _, b in outers])
+        x0 = int(tilemath.lon2tx(bb[:, 0].min(), args.raster))
+        x1 = int(tilemath.lon2tx(bb[:, 1].max(), args.raster))
+        y0 = int(tilemath.lat2ty(bb[:, 3].max(), args.raster))
+        y1 = int(tilemath.lat2ty(bb[:, 2].min(), args.raster))
+        n = 1 << args.raster
+        grid = spark.range(x0, x1 + 1).select(
+            F.col("id").cast("int").alias("x")
+        ).withColumn("y", F.explode(F.sequence(F.lit(y0), F.lit(y1))))
+        centers = grid.select(
+            (F.col("x").cast("long") * n + F.col("y")).alias("cell_id"),
+            F.expr(sqlgen.tile2lon_sql("x + 0.5", args.raster)).alias("lon"),
+            F.expr(sqlgen.tile2lat_sql("y + 0.5", args.raster)).alias("lat"),
+        )
+        za = _clip.zone_assign(centers, outers, inners, id_col="cell_id")
+        za.select(
+            "zone",
+            (F.col("cell_id") / n).cast("long").alias("tile_x"),
+            F.pmod(F.col("cell_id"), F.lit(n)).cast("long").alias("tile_y"),
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "raster"))
+
+    if args.snap:
+        from mapsplit_spark.operators.snap import snap_to_segments
+
+        snap_to_segments(
+            src.select(F.col(args.id_col).alias("pid"),
+                       F.col(args.lon_col).alias("lon"),
+                       F.col(args.lat_col).alias("lat")),
+            spark.read.parquet(args.snap), args.snap_km,
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "snapped"))
+
+    if args.dwithin:
+        from mapsplit_spark.operators.dwithin import dwithin_pairs
+
+        dwithin_pairs(
+            src.select(args.id_col, args.lon_col, args.lat_col),
+            args.id_col, args.lon_col, args.lat_col, args.dwithin,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.output, "dwithin_pairs"))
 
     if args.clusters:
         from mapsplit_spark.operators.clustering import grid_clusters

