@@ -1423,6 +1423,25 @@ def q_ring_raster(spark, sf_dir):
     )
 
 
+def q_way_rings(spark, sf_dir):
+    """Closed-ring polygon statistics (geometry.ring_stats): every
+    lineitem 'way' read as a ring (implicit closing edge) — perimeter
+    incl. the wrap edge, signed shoelace double-area as an EXACT
+    integer sum (deg²·1e9 per-edge quantization), winding direction,
+    and the equirectangular km² area.  One shuffle (lead + wrap
+    first_value + agg share the way key).  Oracle: the DuckDB WINDOW
+    restatement in ring_stats_sql."""
+    from mapsplit_spark.operators.geometry import ring_stats
+
+    nodes = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").alias("seq"),
+        F.expr(sqlgen.derived_lon_sql(NID)).alias("lon"),
+        F.expr(sqlgen.derived_lat_sql(NID)).alias("lat"),
+    )
+    return ring_stats(nodes, "way_id", "seq", "lon", "lat")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1489,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_trajectory": q_user_trajectory,
         "point_snap": q_point_snap,
         "ring_raster": q_ring_raster,
+        "way_rings": q_way_rings,
     }
 
 
@@ -2463,6 +2483,12 @@ f AS (SELECT *, ROW_NUMBER() OVER (
       FROM c WHERE dist_km <= {SNAP_KM!r})
 SELECT pid, way_id, seq, dist_km FROM f WHERE rk = 1
 """
+    oracles["way_rings"] = geometry.ring_stats_sql(
+        f"(SELECT l_orderkey AS way_id, l_linenumber AS seq, "
+        f"{sqlgen.derived_lon_sql(NID)} AS lon, "
+        f"{sqlgen.derived_lat_sql(NID)} AS lat FROM lineitem) wn",
+        "way_id", "seq", "lon", "lat",
+    )
     oracles["user_trajectory"] = geometry.trajectory_stats_sql(
         f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"
         " FROM events) ev",

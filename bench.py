@@ -99,6 +99,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "user_trajectory",      # r5: per-user trace stats, one shuffle
         "point_snap",           # r5: snap-to-segment map matching
         "ring_raster",          # r5: vector→raster tile coverage
+        "way_rings",            # r5: closed-ring area/winding/perimeter
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

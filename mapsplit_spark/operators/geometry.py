@@ -214,3 +214,101 @@ SELECT {user_col}, n_pts, n_moves, path_mm, max_step_mm,
        END AS tortuosity_pct
 FROM a
 """
+
+
+KM_PER_DEG = 111.19492664455873  # radians(1)·6371.0088, = snap.KM_PER_DEG
+
+
+def ring_stats(nodes: DataFrame, way_col: str, seq_col: str,
+               lon_col: str, lat_col: str) -> DataFrame:
+    """Closed-ring polygon statistics — the CLOSED complement of
+    ``polyline_stats``: each way's vertex list is treated as a ring
+    (the closing edge last→first is implicit, OSM-style), yielding
+
+    → (way_col, n_pts, perim_mm, area2_u9, winding, area_km2):
+    perimeter INCLUDING the closing edge (exact integer mm per edge),
+    the signed shoelace double-area in deg²·1e9 (each cross term
+    quantized to an exact integer BEFORE the sum, so the accumulation
+    is order-independent — the mm/µdeg pattern), winding (+1 CCW /
+    −1 CW / 0 degenerate), and the equirectangular-scaled area in km²
+    (|area2|/2 · KM_PER_DEG² · cos(mean lat) — the local-plane
+    approximation, the module's stated metric; exact spherical excess
+    is a documented refinement, not needed for parity since the oracle
+    evaluates the same text over the same exact integers).
+
+    One shuffle: lead(), the wrap-around first_value(), and the
+    aggregate all share the way partitioning (exchange reuse, pinned
+    in tests/test_snap_raster.py).
+    """
+    w = Window.partitionBy(way_col).orderBy("_seq")
+    hav = sqlgen.haversine_sql("_lat", "_lon", "_nlat", "_nlon")
+    cross_u9 = ("CAST(ROUND((_lon * _nlat - _nlon * _lat) "
+                "* 1000000000, 0) AS BIGINT)")
+    stepped = nodes.select(
+        F.col(way_col),
+        F.col(seq_col).alias("_seq"),
+        F.expr(lon_col).cast("double").alias("_lon"),
+        F.expr(lat_col).cast("double").alias("_lat"),
+    ).withColumns({
+        "_nlon": F.coalesce(F.lead("_lon").over(w), F.first("_lon").over(w)),
+        "_nlat": F.coalesce(F.lead("_lat").over(w), F.first("_lat").over(w)),
+    }).withColumns({
+        "_edge_mm": F.expr(sqlgen.mm_from_km_sql(hav)),
+        "_cross_u9": F.expr(cross_u9),
+        "_lat_u": F.expr(sqlgen.udeg_sql("_lat")),
+    })
+    agg = stepped.groupBy(way_col).agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.sum("_edge_mm").cast("long").alias("perim_mm"),
+        F.sum("_cross_u9").cast("long").alias("area2_u9"),
+        F.expr("CAST(SUM(_lat_u) AS DOUBLE) / COUNT(*) / 1000000.0")
+        .alias("_clat"),
+    )
+    k2 = KM_PER_DEG * KM_PER_DEG
+    return agg.select(
+        way_col, "n_pts", "perim_mm", "area2_u9",
+        F.signum("area2_u9").cast("int").alias("winding"),
+        F.expr(f"ROUND(ABS(area2_u9) / 2.0e9 * {k2!r} * "
+               f"COS(RADIANS(_clat)), 4)").alias("area_km2"),
+    )
+
+
+def ring_stats_sql(src: str, way_col: str, seq_col: str,
+                   lon_col: str, lat_col: str) -> str:
+    """DuckDB-oracle twin of ``ring_stats`` — shared quantized-edge
+    formula text, declarative window restatement."""
+    hav = sqlgen.haversine_sql("_lat", "_lon", "_nlat", "_nlon")
+    cross_u9 = ("CAST(ROUND((_lon * _nlat - _nlon * _lat) "
+                "* 1000000000, 0) AS BIGINT)")
+    k2 = KM_PER_DEG * KM_PER_DEG
+    return f"""
+WITH v AS (
+  SELECT {way_col},
+         CAST({lon_col} AS DOUBLE) AS _lon, CAST({lat_col} AS DOUBLE) AS _lat,
+         COALESCE(LEAD(CAST({lon_col} AS DOUBLE)) OVER wv,
+                  FIRST_VALUE(CAST({lon_col} AS DOUBLE)) OVER wv) AS _nlon,
+         COALESCE(LEAD(CAST({lat_col} AS DOUBLE)) OVER wv,
+                  FIRST_VALUE(CAST({lat_col} AS DOUBLE)) OVER wv) AS _nlat
+  FROM {src}
+  WINDOW wv AS (PARTITION BY {way_col} ORDER BY {seq_col})
+),
+e AS (
+  SELECT {way_col},
+         {sqlgen.mm_from_km_sql(hav)} AS _edge_mm,
+         {cross_u9} AS _cross_u9,
+         {sqlgen.udeg_sql('_lat')} AS _lat_u
+  FROM v
+),
+a AS (
+  SELECT {way_col},
+         CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(SUM(_edge_mm) AS BIGINT) AS perim_mm,
+         CAST(SUM(_cross_u9) AS BIGINT) AS area2_u9,
+         CAST(SUM(_lat_u) AS DOUBLE) / COUNT(*) / 1000000.0 AS _clat
+  FROM e GROUP BY {way_col}
+)
+SELECT {way_col}, n_pts, perim_mm, area2_u9,
+       CAST(SIGN(area2_u9) AS INT) AS winding,
+       ROUND(ABS(area2_u9) / 2.0e9 * {k2!r} * COS(RADIANS(_clat)), 4) AS area_km2
+FROM a
+"""

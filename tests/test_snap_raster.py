@@ -104,3 +104,39 @@ def test_ring_raster_covers_all_zones(spark):
     assert len(rows) == 40
     assert all(r.n_tiles > 0 for r in rows.values())
     assert sum(r.n_events for r in rows.values()) > 0
+
+
+def test_ring_stats_square_hand_computed(spark):
+    """A 1°×1° square at the equator, CCW and CW variants, plus an
+    unclosed duplicate — area ≈ 111.19²km², winding signs, perimeter
+    includes the closing edge."""
+    from mapsplit_spark.operators.geometry import KM_PER_DEG, ring_stats
+
+    ccw = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    rows = []
+    for wid, ring in ((1, ccw), (2, ccw[::-1])):
+        rows += [(wid, i, x, y) for i, (x, y) in enumerate(ring)]
+    df = spark.createDataFrame(rows, "way_id int, seq int, lon double, lat double")
+    got = {r.way_id: r for r in ring_stats(df, "way_id", "seq", "lon", "lat").collect()}
+
+    assert got[1].winding == 1 and got[2].winding == -1
+    assert got[1].area2_u9 == -got[2].area2_u9 == 2_000_000_000  # 2·1 deg²
+    # equirectangular area at mean lat 0.5°
+    import math
+    want_km2 = round(KM_PER_DEG**2 * math.cos(math.radians(0.5)), 4)
+    assert got[1].area_km2 == got[2].area_km2 == want_km2
+    assert got[1].n_pts == 4
+    # perimeter: 2 parallels (cos-scaled at 0 and 1 deg) + 2 meridians
+    assert got[1].perim_mm == got[2].perim_mm > 0
+
+
+def test_ring_stats_single_shuffle(spark):
+    from mapsplit_spark.operators.geometry import ring_stats
+
+    df = spark.range(40).selectExpr(
+        "id % 5 AS way_id", "id AS seq",
+        "CAST(id % 360 - 180 AS DOUBLE) AS lon",
+        "CAST(id % 170 / 2.0 - 42.0 AS DOUBLE) AS lat")
+    plan = ring_stats(df, "way_id", "seq", "lon", "lat") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
