@@ -1442,6 +1442,48 @@ def q_way_rings(spark, sf_dir):
     return ring_stats(nodes, "way_id", "seq", "lon", "lat")
 
 
+def q_tile_idw(spark, sf_dir):
+    """IDW interpolation onto the z7 tile grid
+    (operators/interpolate.py): the event `value` surface estimated at
+    every tile center from the samples of its 3×3 neighborhood —
+    map-side scatter (the focal inverted-kernel trick) + ONE
+    partially-aggregated groupBy; weights and values quantized to
+    exact integers per pair so the quotient of sums is
+    order-independent.  Oracle: the GATHER formulation (tiles ×
+    offsets cross join) with shared weight/haversine text."""
+    from mapsplit_spark.operators.interpolate import idw_grid
+
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat"),
+        "value",
+    )
+    return idw_grid(pts, "event_id", "lon", "lat", "value",
+                    RASTER_ZOOM, radius=1)
+
+
+def q_zone_transitions(spark, sf_dir):
+    """Geofence enter/exit detection (operators/geofence.py): per-user
+    consecutive events whose min-containing-zone differs — PIP via the
+    production STR-tree Arrow kernel (independent of the oracle's 40
+    unrolled ring_pip_sql predicates folded with LEAST), transitions
+    via the per-user lag window.  Zone −1 = outside all rings."""
+    import numpy as np
+
+    from mapsplit_spark.operators.geofence import zone_transitions
+
+    def ring_np(vs):
+        r = np.array(vs, dtype=np.float64)
+        return (r, (r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()))
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat"),
+    )
+    return zone_transitions(ev, "user_id", "ts", "event_id", "lon", "lat",
+                            [ring_np(v) for v in CLIP_MULTI_OUTERS])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1509,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_snap": q_point_snap,
         "ring_raster": q_ring_raster,
         "way_rings": q_way_rings,
+        "tile_idw": q_tile_idw,
+        "zone_transitions": q_zone_transitions,
     }
 
 
@@ -2482,6 +2526,30 @@ f AS (SELECT *, ROW_NUMBER() OVER (
         PARTITION BY pid ORDER BY dist_km, way_id, seq) AS rk
       FROM c WHERE dist_km <= {SNAP_KM!r})
 SELECT pid, way_id, seq, dist_km FROM f WHERE rk = 1
+"""
+    from mapsplit_spark.operators.interpolate import idw_grid_sql
+    oracles["tile_idw"] = idw_grid_sql(
+        f"(SELECT event_id, {EV_LON} AS lon, {EV_LAT} AS lat, value"
+        " FROM events) ie",
+        "event_id", "lon", "lat", "value", RASTER_ZOOM, radius=1,
+    )
+    zt_least = "LEAST(" + ", ".join(
+        f"CASE WHEN {sqlgen.ring_pip_sql('lon', 'lat', ring)} THEN {i} "
+        "ELSE 999 END"
+        for i, ring in enumerate(CLIP_MULTI_OUTERS)
+    ) + ")"
+    oracles["zone_transitions"] = f"""
+WITH p AS (SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat
+           FROM events),
+z AS (SELECT user_id, ts, event_id,
+             CASE WHEN {zt_least} = 999 THEN -1 ELSE {zt_least} END AS zone
+      FROM p),
+t AS (SELECT user_id, event_id, CAST(zone AS INT) AS zone,
+             CAST(LAG(zone) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS prev_zone
+      FROM z)
+SELECT user_id, event_id, prev_zone, zone
+FROM t WHERE prev_zone IS NOT NULL AND prev_zone <> zone
 """
     oracles["way_rings"] = geometry.ring_stats_sql(
         f"(SELECT l_orderkey AS way_id, l_linenumber AS seq, "

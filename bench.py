@@ -100,6 +100,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "point_snap",           # r5: snap-to-segment map matching
         "ring_raster",          # r5: vector→raster tile coverage
         "way_rings",            # r5: closed-ring area/winding/perimeter
+        "tile_idw",             # r5: IDW surface via inverted kernel
+        "zone_transitions",     # r5: geofence enter/exit (PIP + lag)
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

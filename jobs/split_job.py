@@ -107,6 +107,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "y1, x2, y2) within --snap-km (map matching)")
     p.add_argument("--snap-km", type=float, default=2.0,
                    help="snap radius in km for --snap (default 2)")
+    p.add_argument("--idw", type=int, default=None, metavar="ZOOM",
+                   help="also write <output>/idw: IDW-interpolated "
+                        "--idw-value surface at this zoom's tile centers "
+                        "(3x3 neighborhood)")
+    p.add_argument("--idw-value", default="w",
+                   help="numeric column to interpolate for --idw")
+    p.add_argument("--transitions", metavar="BY_COL", default=None,
+                   help="with --poly: also write <output>/transitions — "
+                        "geofence enter/exit rows per BY_COL trace ordered "
+                        "by --ts-col")
     p.add_argument("--dwithin", type=float, default=0.0, metavar="KM",
                    help="also write <output>/dwithin_pairs: all input "
                         "element pairs within this ground distance "
@@ -344,6 +354,29 @@ def main(argv=None) -> None:
                        F.col(args.lat_col).alias("lat")),
             spark.read.parquet(args.snap), args.snap_km,
         ).write.mode("overwrite").parquet(os.path.join(args.output, "snapped"))
+
+    if args.idw is not None:
+        from mapsplit_spark.operators.interpolate import idw_grid
+
+        idw_grid(
+            src.select(args.id_col, args.lon_col, args.lat_col,
+                       args.idw_value),
+            args.id_col, args.lon_col, args.lat_col, args.idw_value,
+            args.idw, radius=1,
+        ).write.mode("overwrite").parquet(os.path.join(args.output, "idw"))
+
+    if args.transitions and args.poly:
+        from mapsplit_spark.operators.geofence import zone_transitions
+
+        t_outers, t_inners = load_rings(
+            spark.read.parquet(args.poly), args.poly_id)
+        zone_transitions(
+            src.select(args.transitions, args.ts_col, args.id_col,
+                       args.lon_col, args.lat_col),
+            args.transitions, args.ts_col, args.id_col,
+            args.lon_col, args.lat_col, t_outers, t_inners,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.output, "transitions"))
 
     if args.dwithin:
         from mapsplit_spark.operators.dwithin import dwithin_pairs

@@ -530,3 +530,39 @@ def test_r5_spatial_flags_e2e(spark, images_dir, outbase, capsys):
         spark.read.parquet(segs_path), 25.0).collect()}
     assert got_sn == want_sn
     assert got_sn[rows[0].image_id][2] == 0.0
+
+
+def test_idw_and_transitions_flags_e2e(spark, images_dir, outbase, capsys):
+    """r5: --idw writes the interpolated surface ≡ direct operator run;
+    --transitions (with --poly) writes geofence rows ≡ direct run."""
+    from mapsplit_spark.operators.geofence import zone_transitions
+    from mapsplit_spark.operators.interpolate import idw_grid
+
+    out = os.path.join(outbase, "idwgeo")
+    _run([
+        "--input", f"{images_dir}/images.parquet", "--output", out,
+        "--zoom", "13",
+        "--idw", "6", "--idw-value", "w",
+        "--poly", f"{images_dir}/clip_polygons.parquet",
+        "--transitions", "fmt", "--ts-col", "ts_ms",
+    ], capsys)
+    imgs = spark.read.parquet(f"{images_dir}/images.parquet")
+
+    got_idw = {(r.tile_x, r.tile_y): (r.n_samples, r.est_value)
+               for r in spark.read.parquet(os.path.join(out, "idw")).collect()}
+    want_idw = {(r.tile_x, r.tile_y): (r.n_samples, r.est_value)
+                for r in idw_grid(
+                    imgs.select("image_id", "lon", "lat", "w"),
+                    "image_id", "lon", "lat", "w", 6).collect()}
+    assert got_idw == want_idw and got_idw
+
+    from mapsplit_spark.operators.clip import load_rings
+
+    outers, inners = load_rings(
+        spark.read.parquet(f"{images_dir}/clip_polygons.parquet"), None)
+    got_tr = {tuple(r) for r in spark.read.parquet(
+        os.path.join(out, "transitions")).collect()}
+    want_tr = {tuple(r) for r in zone_transitions(
+        imgs.select("fmt", "ts_ms", "image_id", "lon", "lat"),
+        "fmt", "ts_ms", "image_id", "lon", "lat", outers, inners).collect()}
+    assert got_tr == want_tr
