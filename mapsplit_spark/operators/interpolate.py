@@ -43,7 +43,10 @@ def idw_grid(points: DataFrame, id_col: str, lon_col: str, lat_col: str,
     ``value_scale`` is the exact decimal quantizer for the value column
     (100 ⇒ 2 decimals survive exactly)."""
     n = 1 << zoom
-    pts = assign_tiles(points, id_col, lon_col, lat_col, zoom,
+    # a NULL-valued sample would add weight to the denominator while the
+    # SUM skips its numerator term — drop it before it can skew a cell
+    pts = assign_tiles(points.filter(F.col(value_col).isNotNull()),
+                       id_col, lon_col, lat_col, zoom,
                        keep_cols=[lon_col, lat_col, value_col])
     offs = [(dx, dy) for dx in range(-radius, radius + 1)
             for dy in range(-radius, radius + 1)]

@@ -391,6 +391,8 @@ def _hex_coverage_km(qt: DataFrame, k: int, s_deg: float) -> DataFrame:
     from ..hexgrid import covered_radius_deg
 
     rho = covered_radius_deg(k, s_deg)
+    if rho <= 0:  # k=0 disks guarantee nothing — the bound below would
+        raise ValueError("coverage proof needs disk radius k >= 1")
     half = rho / float(2 ** 0.5)
     meridian = (
         f"{EARTH_R_KM!r} * ASIN(LEAST(1.0, COS(RADIANS(q_lat)) * "
@@ -430,6 +432,8 @@ def knn_hex(queries: DataFrame, points: DataFrame, s_deg: float,
     Like knn_tiled, ``escalate=True`` runs eagerly at call time (the
     per-level accept decision needs each level's coverage proof).
     """
+    if k0 < 1:
+        raise ValueError("k0 must be >= 1 (a 0-disk has no coverage proof)")
     pending = queries.select("query_id", "q_lon", "q_lat")
     pt = _hex_assigned(points.select("point_id", "p_lon", "p_lat"),
                        "point_id", "p_lon", "p_lat", s_deg)

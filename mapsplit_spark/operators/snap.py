@@ -74,7 +74,7 @@ def snap_dist_sql(plon: str, plat: str, ax: str, ay: str,
 
 def snap_to_segments(points: DataFrame, segments: DataFrame, d_km: float,
                      s_deg: float | None = None,
-                     lat_cap: float = 85.06) -> DataFrame:
+                     lat_cap: float = 85.06, max_k: int = 64) -> DataFrame:
     """points(pid, lon, lat) × segments(way_id, seq, x1, y1, x2, y2) →
     (pid, way_id, seq, dist_km): each point's nearest segment with
     metric distance ≤ ``d_km`` (points with no segment in range are
@@ -83,7 +83,11 @@ def snap_to_segments(points: DataFrame, segments: DataFrame, d_km: float,
 
     ``s_deg`` is the hex lattice size (default: the degree span of
     2·d_km, so typical disks stay small); ``lat_cap`` bounds the
-    1/cos(lat) coverage blowup as in dwithin.
+    1/cos(lat) coverage blowup as in dwithin.  ``max_k`` is a LOUD cap
+    on the per-segment scatter radius: a degenerate segment longer than
+    ~max_k lattice cells would silently explode to a huge disk, so the
+    job ABORTS (raise_error) instead — split such polylines upstream
+    (road-scale segments sit at k ≤ 2 for the default lattice).
     """
     d_deg = d_km / KM_PER_DEG
     s = s_deg if s_deg is not None else 2.0 * d_deg
@@ -102,8 +106,16 @@ def snap_to_segments(points: DataFrame, segments: DataFrame, d_km: float,
     rho = F.lit(d_deg) / F.cos(phi_m) + len_deg / F.lit(2.0)
     # k = ceil((ρ + 2s)/(1.5s) − 1), the scatter_k_for_radius formula
     # as a column (per-segment radii differ)
-    k_col = F.greatest(F.lit(0), F.ceil(
+    k_raw = F.greatest(F.lit(0), F.ceil(
         (rho + F.lit(2.0 * s)) / F.lit(1.5 * s) - F.lit(1.0))).cast("int")
+    k_col = F.when(
+        k_raw > F.lit(max_k),
+        F.raise_error(F.format_string(
+            "snap_to_segments: segment way_id=%s seq=%s needs scatter "
+            f"radius %s > max_k={max_k} — split long segments upstream "
+            "or raise max_k", F.col("way_id"), F.col("seq"),
+            k_raw.cast("string"))),
+    ).otherwise(k_raw)
 
     mx = (F.col("x1") + F.col("x2")) / F.lit(2.0)
     my = (F.col("y1") + F.col("y2")) / F.lit(2.0)

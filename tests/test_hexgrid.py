@@ -346,3 +346,15 @@ def test_trajectory_single_shuffle(spark):
     plan = trajectory_stats(ev, "user_id", "ts", "event_id", "lon", "lat") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_knn_hex_rejects_zero_disk(spark):
+    import pytest
+
+    from mapsplit_spark.operators.knn import knn_hex
+
+    pts = spark.range(5).selectExpr("id AS point_id", "CAST(id AS DOUBLE) AS p_lon",
+                                    "CAST(id AS DOUBLE) AS p_lat")
+    qs = spark.range(1).selectExpr("id AS query_id", "0.0 AS q_lon", "0.0 AS q_lat")
+    with pytest.raises(ValueError, match="k0"):
+        knn_hex(qs, pts, s_deg=1.0, k=2, k0=0)

@@ -131,3 +131,16 @@ def test_zone_transitions_hole_drops_membership(spark):
                                   "lon", "lat", [outer], [hole]).collect()
     )
     assert rows == [(1, 0, -1), (2, -1, 0)]
+
+
+def test_idw_drops_null_valued_samples(spark):
+    """A NULL-valued sample must not add denominator weight."""
+    pdf = pd.DataFrame({
+        "pid": [1, 2],
+        "lon": [10.0, 10.001],
+        "lat": [10.0, 10.001],
+        "value": [40.0, None],
+    })
+    rows = idw_grid(spark.createDataFrame(pdf), "pid", "lon", "lat",
+                    "value", 6).collect()
+    assert rows and all(r.est_value == 40.0 and r.n_samples == 1 for r in rows)
