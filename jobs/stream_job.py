@@ -57,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timeout-sec", type=float, default=None,
                    help="stop after N seconds (continuous mode; omit to run "
                         "until killed)")
-    p.add_argument("--mode", choices=["counts", "dedup"], default="counts",
+    p.add_argument("--mode", choices=["counts", "dedup", "geofence"],
+                   default="counts",
                    help="counts: watermarked per-tile modification counts "
                         "(default); dedup: online pHash near-dup pair stream")
     p.add_argument("--hash-col", default="phash")
@@ -72,7 +73,53 @@ def build_parser() -> argparse.ArgumentParser:
                         "time timeout) — bounds state to the active "
                         "working set for unbounded ingest; pairs older "
                         "than the TTL fall to batch reconciliation")
+    p.add_argument("--poly", help="--mode geofence: zone rings parquet")
+    p.add_argument("--poly-id", default=None)
+    p.add_argument("--user-col", default="user_id",
+                   help="--mode geofence: trace key column")
+    p.add_argument("--ts-col", default="ts",
+                   help="--mode geofence: event-time column")
     return p
+
+
+def run_geofence_stream(spark, args):
+    """--mode geofence: landing (user, ts, id, lon, lat) parquet →
+    zone enter/exit transition stream → append-only parquet rows."""
+    from mapsplit_spark.operators.clip import load_rings
+    from mapsplit_spark.streaming.dedup_stream import rocksdb_state_conf
+    from mapsplit_spark.streaming.geofence_stream import (
+        streaming_zone_transitions,
+    )
+
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    outers, inners = load_rings(spark.read.parquet(args.poly), args.poly_id)
+    schema = spark.read.parquet(args.input).schema
+    stream = spark.readStream.schema(schema).parquet(args.input)
+    trans = streaming_zone_transitions(
+        stream, args.user_col, args.ts_col, args.id_col,
+        args.lon_col, args.lat_col, outers, inners,
+    )
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(args.output)
+
+    writer = (trans.writeStream.foreachBatch(sink)
+              .outputMode("update")
+              .option("checkpointLocation", args.checkpoint))
+    if args.once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime=args.interval).start()
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+        q.awaitTermination()
+    try:
+        n = spark.read.parquet(args.output).count()
+    except Exception:  # noqa: BLE001 — no transitions → path absent
+        n = 0
+    print(json.dumps({"mode": "geofence", "transitions": n}))
 
 
 def run_dedup_stream(spark, args):
@@ -135,9 +182,12 @@ def main(argv=None) -> None:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("stream-job")
-    if args.mode == "dedup":
+    if args.mode in ("dedup", "geofence"):
         try:
-            run_dedup_stream(spark, args)
+            if args.mode == "dedup":
+                run_dedup_stream(spark, args)
+            else:
+                run_geofence_stream(spark, args)
         finally:
             if owns_session:
                 spark.stop()

@@ -305,3 +305,31 @@ def clip_assignments(assignments: DataFrame, kept_tiles: DataFrame) -> DataFrame
     return assignments.join(
         kept_tiles.select("tile_x", "tile_y").distinct(), ["tile_x", "tile_y"], "left_semi"
     )
+
+
+def min_zone_fn(outers, inners, use_index: bool | str = "auto"):
+    """(px, py) → int32 min-containing-zone array (−1 outside all
+    outers or inside a hole) — the vectorized kernel shared by the
+    batch geofence (operators/geofence.py) and its streaming twin
+    (streaming/geofence_stream.py)."""
+    if use_index is True or (use_index == "auto"
+                             and len(outers) >= STRTREE_MIN_RINGS):
+        tree = build_strtree(np.array([b for _, b in outers]))
+        flat = _flatten_rings(outers)
+        pairs_fn = lambda px, py: _pairs_indexed(px, py, flat, tree)  # noqa: E731
+    else:
+        pairs_fn = lambda px, py: _pairs_linear(px, py, outers)  # noqa: E731
+    in_inner = _membership_fn(inners, use_index)
+
+    def zones(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        out = np.full(len(px), -1, dtype=np.int32)
+        p_idx, r_idx = pairs_fn(px, py)
+        if p_idx.size:
+            # min zone per point: reverse-sorted fill leaves the minimum
+            order = np.argsort(r_idx, kind="stable")[::-1]
+            out[p_idx[order]] = r_idx[order].astype(np.int32)
+        if inners:
+            out[in_inner(px, py)] = -1
+        return out
+
+    return zones

@@ -5,11 +5,11 @@ pipeline).  Combines the engine's two join families: point-in-polygon
 zone membership (the STR-tree Arrow kernel, clip.zone_assign) and
 ordered window analytics (lag over the per-user timeline).
 
-Shape: zone membership is map-side (rings broadcast once per executor,
-candidates bounded by the tree); the min-zone fold and the id join
-shuffle on the event id; the transition lag shuffles on the user — no
-self-join of the event table against itself, no Python outside the
-PIP kernel.
+Shape: ONE shuffle.  Zone membership including the min-zone fold is
+fully map-side (clip.min_zone_fn — rings + STR tree ship once per
+executor, the per-point minimum is resolved inside the Arrow batch, so
+there is no groupBy-on-id/join-back round trip); the only exchange is
+the per-user transition window.  No Python outside the PIP kernel.
 
 Zone convention: ``zone`` = the smallest index of a containing outer
 ring, −1 when outside all rings (overlaps resolve to the lowest index
@@ -21,10 +21,37 @@ nothing (no previous state).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .clip import zone_assign
+from .clip import min_zone_fn
+
+
+def with_min_zone(events: DataFrame, lon_col: str, lat_col: str,
+                  outers, inners=(),
+                  use_index: bool | str = "auto") -> DataFrame:
+    """events → events + ``zone`` int column (min containing outer,
+    −1 outside/hole) — one mapInPandas pass over the Arrow batches,
+    no shuffle.  Streaming-safe (used by streaming/geofence_stream)."""
+    from pyspark.sql import types as T
+
+    zones = min_zone_fn(outers, list(inners), use_index)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            z = zones(pdf[lon_col].to_numpy(np.float64),
+                      pdf[lat_col].to_numpy(np.float64))
+            yield pdf.assign(zone=z)
+
+    out_schema = T.StructType(events.schema.fields
+                              + [T.StructField("zone", T.IntegerType())])
+    return events.mapInPandas(run, out_schema)
 
 
 def zone_transitions(events: DataFrame, user_col: str, ts_col: str,
@@ -32,15 +59,9 @@ def zone_transitions(events: DataFrame, user_col: str, ts_col: str,
                      outers, inners=()) -> DataFrame:
     """events(user, ts, id, lon, lat) × zones →
     (user_col, event_id, prev_zone, zone) — one row per enter/exit."""
-    za = zone_assign(
-        events.select(id_col, lon_col, lat_col), outers, list(inners),
-        id_col=id_col, lon_col=lon_col, lat_col=lat_col,
-    )
-    zmin = za.groupBy(id_col).agg(F.min("zone").cast("int").alias("zone"))
-    ev = (
-        events.select(user_col, ts_col, id_col)
-        .join(zmin, id_col, "left")
-        .withColumn("zone", F.coalesce("zone", F.lit(-1)))
+    ev = with_min_zone(
+        events.select(user_col, ts_col, id_col, lon_col, lat_col),
+        lon_col, lat_col, outers, inners,
     )
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     return (

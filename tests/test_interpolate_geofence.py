@@ -144,3 +144,114 @@ def test_idw_drops_null_valued_samples(spark):
     rows = idw_grid(spark.createDataFrame(pdf), "pid", "lon", "lat",
                     "value", 6).collect()
     assert rows and all(r.est_value == 40.0 and r.n_samples == 1 for r in rows)
+
+
+def test_streaming_zone_transitions_matches_batch(spark, tmp_path):
+    """Drain a per-user time-ordered fixture through the streaming
+    geofence in multiple micro-batches (maxFilesPerTrigger=1, state
+    carries across triggers) — the emitted transition set must equal
+    the batch operator's rows exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapsplit_spark.operators.geofence import zone_transitions
+    from mapsplit_spark.streaming.geofence_stream import (
+        streaming_zone_transitions,
+    )
+
+    z0 = _ring([(0.0, -10.0), (10.0, -9.5), (10.0, 10.0), (0.0, 9.5)])
+    z1 = _ring([(5.0, -10.2), (15.0, -9.7), (15.0, 10.2), (5.0, 9.7)])
+    rng = np.random.default_rng(21)
+    n, n_users = 600, 7
+    ids = np.arange(n, dtype=np.int64)
+    users = ids % n_users
+    ts = (np.datetime64("2024-01-01") + (ids // n_users)
+          * np.timedelta64(60, "s"))  # time-ordered per user across files
+    lon = rng.uniform(-5.0, 20.0, n)
+    lat = rng.uniform(-5.0, 5.0, n)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, sl in enumerate([slice(0, 200), slice(200, 400), slice(400, 600)]):
+        pq.write_table(pa.table({
+            "user_id": pa.array(users[sl]), "ts": pa.array(ts[sl]),
+            "event_id": pa.array(ids[sl]), "lon": pa.array(lon[sl]),
+            "lat": pa.array(lat[sl]),
+        }), os.path.join(src, f"b{i}.parquet"))
+
+    schema = ("user_id long, ts timestamp, event_id long, "
+              "lon double, lat double")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_zone_transitions(
+        stream, "user_id", "ts", "event_id", "lon", "lat", [z0, z1])
+    q = (out.writeStream.format("memory").queryName("geo_trans")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.sql(
+        "SELECT user_id, event_id, prev_zone, zone FROM geo_trans").collect()}
+    batch = spark.read.parquet(src)
+    want = {tuple(r) for r in zone_transitions(
+        batch, "user_id", "ts", "event_id", "lon", "lat",
+        [z0, z1]).collect()}
+    assert got == want and len(got) > 20
+
+
+def test_stream_job_geofence_mode_e2e(spark, tmp_path, capsys):
+    """jobs/stream_job.py --mode geofence --once drains a landing dir
+    and writes the same transition rows the batch operator computes."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.stream_job import main as stream_main
+    from mapsplit_spark.operators.geofence import zone_transitions
+
+    rng = np.random.default_rng(3)
+    n, n_users = 300, 5
+    ids = np.arange(n, dtype=np.int64)
+    ts = np.datetime64("2024-02-01") + ids * np.timedelta64(30, "s")
+    lon = rng.uniform(-5.0, 20.0, n)
+    lat = rng.uniform(-5.0, 5.0, n)
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    pq.write_table(pa.table({
+        "user_id": pa.array(ids % n_users), "ts": pa.array(ts),
+        "event_id": pa.array(ids), "lon": pa.array(lon),
+        "lat": pa.array(lat),
+    }), os.path.join(src, "b0.parquet"))
+    # zone rings parquet in the clip_polygons layout load_rings expects
+    ring = [(0.0, -10.0), (10.0, -9.5), (10.0, 10.0), (0.0, 9.5)]
+    spark.createDataFrame(
+        [("z", [{"lon": v[0], "lat": v[1]} for v in ring], False)],
+        "poly_id string, coords array<struct<lon double, lat double>>, "
+        "is_hole boolean",
+    ).write.mode("overwrite").parquet(str(tmp_path / "zones.parquet"))
+
+    out = str(tmp_path / "out")
+    stream_main([
+        "--input", src, "--checkpoint", str(tmp_path / "ckpt"),
+        "--output", out, "--mode", "geofence", "--once",
+        "--poly", str(tmp_path / "zones.parquet"),
+        "--user-col", "user_id", "--ts-col", "ts", "--id-col", "event_id",
+    ])
+    summary = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                          if ln.startswith("{")][-1])
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in zone_transitions(
+        spark.read.parquet(src), "user_id", "ts", "event_id", "lon", "lat",
+        *_load(spark, str(tmp_path / "zones.parquet"))).collect()}
+    assert got == want and summary["transitions"] == len(got) > 0
+
+
+def _load(spark, path):
+    from mapsplit_spark.operators.clip import load_rings
+
+    return load_rings(spark.read.parquet(path), None)
