@@ -1484,6 +1484,21 @@ def q_zone_transitions(spark, sf_dir):
                             [ring_np(v) for v in CLIP_MULTI_OUTERS])
 
 
+def q_user_heading(spark, sf_dir):
+    """Circular movement statistics (geometry.heading_stats): per-user
+    circular mean of the per-step forward azimuths + resultant length
+    (directedness).  The circular mean is atan2 of sin/cos SUMS, so
+    each term is quantized to an exact 1e9 integer per step — the gate
+    is value-exact despite being trig-heavy.  One shuffle."""
+    from mapsplit_spark.operators.geometry import heading_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat"),
+    )
+    return heading_stats(ev, "user_id", "ts", "event_id", "lon", "lat")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1553,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_rings": q_way_rings,
         "tile_idw": q_tile_idw,
         "zone_transitions": q_zone_transitions,
+        "user_heading": q_user_heading,
     }
 
 
@@ -2556,6 +2572,11 @@ FROM t WHERE prev_zone IS NOT NULL AND prev_zone <> zone
         f"{sqlgen.derived_lon_sql(NID)} AS lon, "
         f"{sqlgen.derived_lat_sql(NID)} AS lat FROM lineitem) wn",
         "way_id", "seq", "lon", "lat",
+    )
+    oracles["user_heading"] = geometry.heading_stats_sql(
+        f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"
+        " FROM events) eh",
+        "user_id", "ts", "event_id", "lon", "lat",
     )
     oracles["user_trajectory"] = geometry.trajectory_stats_sql(
         f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"

@@ -102,6 +102,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "way_rings",            # r5: closed-ring area/winding/perimeter
         "tile_idw",             # r5: IDW surface via inverted kernel
         "zone_transitions",     # r5: geofence enter/exit (PIP + lag)
+        "user_heading",         # r5: circular mean bearing (exact-int trig sums)
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

@@ -312,3 +312,83 @@ SELECT {way_col}, n_pts, perim_mm, area2_u9,
        ROUND(ABS(area2_u9) / 2.0e9 * {k2!r} * COS(RADIANS(_clat)), 4) AS area_km2
 FROM a
 """
+
+
+def _bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Initial great-circle bearing (radians, −π..π) — the standard
+    forward-azimuth formula; portable text shared with the oracle."""
+    dl = f"RADIANS(({lon2}) - ({lon1}))"
+    return (
+        f"ATAN2(SIN({dl}) * COS(RADIANS({lat2})), "
+        f"COS(RADIANS({lat1})) * SIN(RADIANS({lat2})) - "
+        f"SIN(RADIANS({lat1})) * COS(RADIANS({lat2})) * COS({dl}))"
+    )
+
+
+def heading_stats(events: DataFrame, user_col: str, ts_col: str,
+                  id_col: str, lon_col: str, lat_col: str) -> DataFrame:
+    """Circular statistics of each user's movement directions —
+    → (user_col, n_moves, mean_bearing_deg, resultant_pct): the
+    circular mean of the per-step forward azimuths and the resultant
+    length R·100 (100 = every step due the same way, 0 = directions
+    cancel; the standard directedness measure for traces).
+
+    Circular means are atan2 of SUMS of sines/cosines — float sums, so
+    each sin/cos is quantized to an exact 1e9 integer per step (the
+    mm/µdeg pattern) and the atan2/hypot run on the exact sums:
+    order-independent, bit-identical across engines.  Users with zero
+    moves (single-point traces) are absent — the circular mean of an
+    empty direction set is undefined, not 0.  One shuffle (lag window
+    + groupBy share the user key)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    brg = _bearing_sql("_plat", "_plon", "_lat", "_lon")
+    stepped = events.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col),
+        F.expr(lon_col).cast("double").alias("_lon"),
+        F.expr(lat_col).cast("double").alias("_lat"),
+    ).withColumns({
+        "_plon": F.lag("_lon").over(w),
+        "_plat": F.lag("_lat").over(w),
+    }).filter(F.col("_plon").isNotNull()).withColumns({
+        "_s_u9": F.expr(f"CAST(ROUND(SIN({brg}) * 1000000000, 0) AS BIGINT)"),
+        "_c_u9": F.expr(f"CAST(ROUND(COS({brg}) * 1000000000, 0) AS BIGINT)"),
+    })
+    return stepped.groupBy(user_col).agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.expr("ROUND(DEGREES(ATAN2(CAST(SUM(_s_u9) AS DOUBLE), "
+               "CAST(SUM(_c_u9) AS DOUBLE))), 4)").alias("mean_bearing_deg"),
+        F.expr("ROUND(SQRT(POWER(CAST(SUM(_s_u9) AS DOUBLE), 2) + "
+               "POWER(CAST(SUM(_c_u9) AS DOUBLE), 2)) "
+               "/ COUNT(*) / 10000000.0, 4)").alias("resultant_pct"),
+    )
+
+
+def heading_stats_sql(src: str, user_col: str, ts_col: str,
+                      id_col: str, lon_col: str, lat_col: str) -> str:
+    """DuckDB-oracle twin of ``heading_stats`` — shared bearing /
+    quantization text, declarative restatement."""
+    brg = _bearing_sql("_plat", "_plon", "_lat", "_lon")
+    return f"""
+WITH v AS (
+  SELECT {user_col},
+         CAST({lon_col} AS DOUBLE) AS _lon, CAST({lat_col} AS DOUBLE) AS _lat,
+         LAG(CAST({lon_col} AS DOUBLE)) OVER w AS _plon,
+         LAG(CAST({lat_col} AS DOUBLE)) OVER w AS _plat
+  FROM {src}
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})
+),
+e AS (
+  SELECT {user_col},
+         CAST(ROUND(SIN({brg}) * 1000000000, 0) AS BIGINT) AS _s_u9,
+         CAST(ROUND(COS({brg}) * 1000000000, 0) AS BIGINT) AS _c_u9
+  FROM v WHERE _plon IS NOT NULL
+)
+SELECT {user_col},
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       ROUND(DEGREES(ATAN2(CAST(SUM(_s_u9) AS DOUBLE),
+                           CAST(SUM(_c_u9) AS DOUBLE))), 4) AS mean_bearing_deg,
+       ROUND(SQRT(POWER(CAST(SUM(_s_u9) AS DOUBLE), 2) +
+                  POWER(CAST(SUM(_c_u9) AS DOUBLE), 2))
+             / COUNT(*) / 10000000.0, 4) AS resultant_pct
+FROM e GROUP BY {user_col}
+"""

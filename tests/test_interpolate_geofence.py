@@ -255,3 +255,34 @@ def _load(spark, path):
     from mapsplit_spark.operators.clip import load_rings
 
     return load_rings(spark.read.parquet(path), None)
+
+
+def test_heading_stats_hand_computed(spark):
+    """Due-east equator walk → mean bearing 90°, resultant 100%;
+    back-and-forth walk → resultant ~0; single-point user absent."""
+    from mapsplit_spark.operators.geometry import heading_stats
+
+    rows = []
+    # user 1: monotone east along the equator (bearing exactly 90°)
+    for i in range(5):
+        rows.append((1, i, i, 10.0 + 0.1 * i, 0.0))
+    # user 2: east then west (opposite bearings cancel)
+    rows += [(2, 0, 10, 10.0, 0.0), (2, 1, 11, 10.1, 0.0),
+             (2, 2, 12, 10.0, 0.0)]
+    # user 3: single point
+    rows.append((3, 0, 20, 50.0, 50.0))
+    ev = spark.createDataFrame(pd.DataFrame(
+        [(u, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t), i, lo, la)
+         for u, t, i, lo, la in rows],
+        columns=["user_id", "ts", "event_id", "lon", "lat"]))
+    got = {r.user_id: r for r in heading_stats(
+        ev, "user_id", "ts", "event_id", "lon", "lat").collect()}
+    assert got[1].n_moves == 4
+    assert abs(got[1].mean_bearing_deg - 90.0) < 1e-6
+    assert abs(got[1].resultant_pct - 100.0) < 1e-3
+    assert got[2].resultant_pct < 0.01
+    assert 3 not in got
+
+    plan = heading_stats(ev, "user_id", "ts", "event_id", "lon", "lat") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
