@@ -481,15 +481,18 @@ def test_r5_spatial_flags_e2e(spark, images_dir, outbase, capsys):
     segs_path = os.path.join(outbase, "segs.parquet")
     imgs = spark.read.parquet(f"{images_dir}/images.parquet") \
         .select("image_id", "lon", "lat")
-    # a small segment fixture threaded through two image positions
-    rows = imgs.orderBy("image_id").limit(4).collect()
+    # short road segments anchored at one image position (continent-
+    # length segments would trip snap's loud max_k guard, by design —
+    # see test_snap_long_segment_aborts_loudly)
+    rows = imgs.orderBy("image_id").limit(1).collect()
+    a_lon, a_lat = rows[0].lon, rows[0].lat
     pd.DataFrame({
         "way_id": [1, 1, 2],
         "seq": [1, 2, 1],
-        "x1": [rows[0].lon, rows[1].lon, rows[2].lon],
-        "y1": [rows[0].lat, rows[1].lat, rows[2].lat],
-        "x2": [rows[1].lon, rows[2].lon, rows[3].lon],
-        "y2": [rows[1].lat, rows[2].lat, rows[3].lat],
+        "x1": [a_lon, a_lon + 0.05, a_lon],
+        "y1": [a_lat, a_lat, a_lat + 0.05],
+        "x2": [a_lon + 0.05, a_lon + 0.1, a_lon + 0.05],
+        "y2": [a_lat, a_lat + 0.02, a_lat + 0.07],
     }).to_parquet(segs_path)
 
     _run([
