@@ -1499,6 +1499,62 @@ def q_user_heading(spark, sf_dir):
     return heading_stats(ev, "user_id", "ts", "event_id", "lon", "lat")
 
 
+def q_tile_flows(spark, sf_dir):
+    """Origin→destination tile flows (geometry.tile_flows): per
+    directed z5 tile pair, the move count and distinct movers over
+    every user's consecutive event pairs — the flow-map / OD-matrix
+    aggregation.  Two shuffles by construction (user window → flow-key
+    groupBy); tile math map-side, shared text with the oracle."""
+    from mapsplit_spark.operators.geometry import tile_flows
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat"),
+    )
+    return tile_flows(ev, "user_id", "ts", "event_id", "lon", "lat", zoom=5)
+
+
+GEODUP_KM = 3000.0  # "same scene" radius for the geo near-dup gate
+
+
+def q_geo_image_dups(spark, sf_dir):
+    """Geo-constrained image near-dup — the 'same scene photographed
+    twice' detector an image-ingest pipeline runs: pairs whose pHash
+    Hamming distance ≤ 3 AND whose locations are within 3000 km.
+    Plan: candidates come from the HASH side (the exact-recall
+    pigeonhole band join — far more selective than any geo bucket at
+    this radius), coordinates join back on the id, haversine refines.
+    Derived phash keys use event_id/7 so the planted dup groups fall
+    INSIDE the %7 gate subset; oracle = brute force over both
+    predicates."""
+    from mapsplit_spark.operators.dedup import hamming_near_dups
+
+    key = f"CAST(FLOOR(event_id / {DWITHIN_MOD}.0) AS BIGINT)"
+    bands = [sqlgen.derived_phash_band_sql(key, k) for k in range(4)]
+    sub = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % DWITHIN_MOD == 0
+    ).select(
+        F.col("event_id").alias("pid"),
+        F.expr(sqlgen.phash_from_bands_sql(bands)).alias("phash"),
+        F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat"),
+    )
+    pairs = hamming_near_dups(sub.select("pid", "phash"), id_col="pid",
+                              hash_col="phash", radius=3, n_bands=4, bits=60)
+    coords = sub.select("pid", "lon", "lat")
+    hav = sqlgen.haversine_sql("a_lat", "a_lon", "b_lat", "b_lon")
+    return (
+        pairs.join(coords.select(F.col("pid").alias("id_a"),
+                                 F.col("lon").alias("a_lon"),
+                                 F.col("lat").alias("a_lat")), "id_a")
+        .join(coords.select(F.col("pid").alias("id_b"),
+                            F.col("lon").alias("b_lon"),
+                            F.col("lat").alias("b_lat")), "id_b")
+        .withColumn("dist_km", F.round(F.expr(hav), 6))
+        .filter(F.col("dist_km") <= GEODUP_KM)
+        .select("id_a", "id_b", "hamming", "dist_km")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1569,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_idw": q_tile_idw,
         "zone_transitions": q_zone_transitions,
         "user_heading": q_user_heading,
+        "tile_flows": q_tile_flows,
+        "geo_image_dups": q_geo_image_dups,
     }
 
 
@@ -2573,6 +2631,35 @@ FROM t WHERE prev_zone IS NOT NULL AND prev_zone <> zone
         f"{sqlgen.derived_lat_sql(NID)} AS lat FROM lineitem) wn",
         "way_id", "seq", "lon", "lat",
     )
+    oracles["tile_flows"] = geometry.tile_flows_sql(
+        f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"
+        " FROM events) ef",
+        "user_id", "ts", "event_id", "lon", "lat", zoom=5,
+    )
+    gd_key = f"CAST(FLOOR(event_id / {DWITHIN_MOD}.0) AS BIGINT)"
+    gd_bands = [sqlgen.derived_phash_band_sql(gd_key, k) for k in range(4)]
+    gd_hav = sqlgen.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    # hamming summed PER 15-BIT BAND (hamming_bits_sql's documented
+    # domain — a packed 2^60 value would lose low bits in the oracle's
+    # double FLOOR-divisions; the engine's bigint bit_count(xor) is the
+    # independent formulation)
+    gd_ham = " + ".join(
+        sqlgen.hamming_bits_sql(f"a.b{k}", f"b.b{k}", 15) for k in range(4))
+    gd_band_cols = ",\n         ".join(
+        f"{b} AS b{k}" for k, b in enumerate(gd_bands))
+    oracles["geo_image_dups"] = f"""
+WITH p AS (
+  SELECT event_id AS pid,
+         {gd_band_cols},
+         {EV_LON} AS lon, {EV_LAT} AS lat
+  FROM events WHERE event_id % {DWITHIN_MOD} = 0
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       CAST({gd_ham} AS INT) AS hamming,
+       ROUND({gd_hav}, 6) AS dist_km
+FROM p a JOIN p b ON a.pid < b.pid
+WHERE {gd_ham} <= 3 AND ROUND({gd_hav}, 6) <= {GEODUP_KM!r}
+"""
     oracles["user_heading"] = geometry.heading_stats_sql(
         f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"
         " FROM events) eh",

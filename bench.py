@@ -103,6 +103,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "tile_idw",             # r5: IDW surface via inverted kernel
         "zone_transitions",     # r5: geofence enter/exit (PIP + lag)
         "user_heading",         # r5: circular mean bearing (exact-int trig sums)
+        "tile_flows",           # r5: OD-matrix flow aggregation
+        "geo_image_dups",       # r5: hash-banded + geo-refined near-dup
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

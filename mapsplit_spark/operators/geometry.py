@@ -392,3 +392,65 @@ SELECT {user_col},
              / COUNT(*) / 10000000.0, 4) AS resultant_pct
 FROM e GROUP BY {user_col}
 """
+
+
+def tile_flows(events: DataFrame, user_col: str, ts_col: str,
+               id_col: str, lon_col: str, lat_col: str,
+               zoom: int) -> DataFrame:
+    """Origin→destination tile flows — the flow-map / OD-matrix
+    aggregation: each user's consecutive event pair contributes one
+    move from its previous tile to its current tile at ``zoom``.
+
+    → (from_x, from_y, to_x, to_y, n_moves, n_users): move count and
+    distinct movers per directed tile pair (self-loops included — a
+    dwell is a flow the reader filters, not a dropped row).
+
+    Two shuffles by construction (the OD key is not the user key):
+    the per-user lag window, then the partial-aggregated groupBy on
+    the flow key; tile assignment itself is map-side column math.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    tx = sqlgen.lon2tx_sql("_lon", zoom)
+    ty = sqlgen.lat2ty_sql("_lat", zoom)
+    stepped = events.select(
+        F.col(user_col),
+        F.col(ts_col), F.col(id_col),
+        F.expr(lon_col).cast("double").alias("_lon"),
+        F.expr(lat_col).cast("double").alias("_lat"),
+    ).withColumns({
+        "_tx": F.expr(tx), "_ty": F.expr(ty),
+    }).withColumns({
+        "from_x": F.lag("_tx").over(w),
+        "from_y": F.lag("_ty").over(w),
+    }).filter(F.col("from_x").isNotNull())
+    return stepped.groupBy(
+        "from_x", "from_y",
+        F.col("_tx").alias("to_x"), F.col("_ty").alias("to_y"),
+    ).agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.countDistinct(user_col).cast("long").alias("n_users"),
+    )
+
+
+def tile_flows_sql(src: str, user_col: str, ts_col: str, id_col: str,
+                   lon_col: str, lat_col: str, zoom: int) -> str:
+    """DuckDB-oracle twin of ``tile_flows`` (shared tile-math text)."""
+    tx = sqlgen.lon2tx_sql("_lon", zoom)
+    ty = sqlgen.lat2ty_sql("_lat", zoom)
+    return f"""
+WITH t AS (
+  SELECT {user_col}, {tx} AS _tx, {ty} AS _ty,
+         LAG({tx}) OVER w AS from_x, LAG({ty}) OVER w AS from_y
+  FROM (
+    SELECT {user_col}, {ts_col} AS _ts, {id_col} AS _id,
+           CAST({lon_col} AS DOUBLE) AS _lon, CAST({lat_col} AS DOUBLE) AS _lat
+    FROM {src}
+  ) b
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY _ts, _id)
+)
+SELECT from_x, from_y, _tx AS to_x, _ty AS to_y,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(COUNT(DISTINCT {user_col}) AS BIGINT) AS n_users
+FROM t WHERE from_x IS NOT NULL
+GROUP BY from_x, from_y, _tx, _ty
+"""
