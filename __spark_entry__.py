@@ -1555,6 +1555,23 @@ def q_geo_image_dups(spark, sf_dir):
     )
 
 
+def q_gps_spikes(spark, sf_dir):
+    """Implausible-speed step detection (geometry.gps_spikes) — the
+    trace-cleaning pass before trusting geo labels: steps whose implied
+    speed exceeds 1000 km/h (teleports / corrupted fixes).  Speed from
+    EXACT integer step-mm and µs duration, so the threshold decision
+    is bit-identical in both engines; zero-duration moving steps are
+    spikes by definition.  One shuffle."""
+    from mapsplit_spark.operators.geometry import gps_spikes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat"),
+    )
+    return gps_spikes(ev, "user_id", "ts", "event_id", "lon", "lat",
+                      max_kmh=1000.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -1627,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_heading": q_user_heading,
         "tile_flows": q_tile_flows,
         "geo_image_dups": q_geo_image_dups,
+        "gps_spikes": q_gps_spikes,
     }
 
 
@@ -2630,6 +2648,11 @@ FROM t WHERE prev_zone IS NOT NULL AND prev_zone <> zone
         f"{sqlgen.derived_lon_sql(NID)} AS lon, "
         f"{sqlgen.derived_lat_sql(NID)} AS lat FROM lineitem) wn",
         "way_id", "seq", "lon", "lat",
+    )
+    oracles["gps_spikes"] = geometry.gps_spikes_sql(
+        f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"
+        " FROM events) eg",
+        "user_id", "ts", "event_id", "lon", "lat", max_kmh=1000.0,
     )
     oracles["tile_flows"] = geometry.tile_flows_sql(
         f"(SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat"

@@ -105,6 +105,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "user_heading",         # r5: circular mean bearing (exact-int trig sums)
         "tile_flows",           # r5: OD-matrix flow aggregation
         "geo_image_dups",       # r5: hash-banded + geo-refined near-dup
+        "gps_spikes",           # r5: implausible-speed trace cleaning
     ]
     qs = entry.queries()
     # one warm pass primes JIT/codegen + parquet footer caches so the

@@ -454,3 +454,76 @@ SELECT from_x, from_y, _tx AS to_x, _ty AS to_y,
 FROM t WHERE from_x IS NOT NULL
 GROUP BY from_x, from_y, _tx, _ty
 """
+
+
+def gps_spikes(events: DataFrame, user_col: str, ts_col: str,
+               id_col: str, lon_col: str, lat_col: str,
+               max_kmh: float = 1000.0) -> DataFrame:
+    """Implausible-speed step detection — the trace-cleaning pass a
+    training pipeline runs before trusting geo labels: a step whose
+    implied speed exceeds ``max_kmh`` marks its arrival event as a
+    spike (teleport / corrupted fix).
+
+    → (user_col, event_id, step_mm, dt_us, speed_kmh): one row per
+    flagged step; speed is computed from the EXACT integer step length
+    (mm) and duration (µs) — speed_kmh = step_mm · 3600 / dt_us,
+    rounded to 4 — so the flag threshold is bit-identical across
+    engines.  Zero-duration steps with any movement are spikes by
+    definition (infinite speed); zero-duration zero-movement steps are
+    not.  One shuffle (the user window)."""
+    from .temporal import _micros
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    hav = sqlgen.haversine_sql("_plat", "_plon", "_lat", "_lon")
+    ts_us = _micros(F.col(ts_col), events.schema[ts_col].dataType)
+    stepped = events.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col),
+        ts_us.alias("_ts_us"),
+        F.expr(lon_col).cast("double").alias("_lon"),
+        F.expr(lat_col).cast("double").alias("_lat"),
+    ).withColumns({
+        "_plon": F.lag("_lon").over(w),
+        "_plat": F.lag("_lat").over(w),
+        "_pts": F.lag("_ts_us").over(w),
+    }).filter(F.col("_plon").isNotNull()).withColumns({
+        "step_mm": F.expr(sqlgen.mm_from_km_sql(hav)),
+        "dt_us": (F.col("_ts_us") - F.col("_pts")).cast("long"),
+    })
+    speed = F.round(F.col("step_mm") * F.lit(3600.0) / F.col("dt_us"), 4)
+    return stepped.filter(
+        ((F.col("dt_us") > 0) & (speed > F.lit(max_kmh)))
+        | ((F.col("dt_us") <= 0) & (F.col("step_mm") > 0))
+    ).select(
+        user_col, F.col(id_col).alias("event_id"), "step_mm", "dt_us",
+        F.when(F.col("dt_us") > 0, speed).alias("speed_kmh"),
+    )
+
+
+def gps_spikes_sql(src: str, user_col: str, ts_col: str, id_col: str,
+                   lon_col: str, lat_col: str,
+                   max_kmh: float = 1000.0) -> str:
+    """DuckDB-oracle twin of ``gps_spikes`` (shared step/speed text)."""
+    hav = sqlgen.haversine_sql("_plat", "_plon", "_lat", "_lon")
+    return f"""
+WITH v AS (
+  SELECT {user_col}, {id_col} AS _id, EPOCH_US({ts_col}) AS _ts_us,
+         CAST({lon_col} AS DOUBLE) AS _lon, CAST({lat_col} AS DOUBLE) AS _lat,
+         LAG(CAST({lon_col} AS DOUBLE)) OVER w AS _plon,
+         LAG(CAST({lat_col} AS DOUBLE)) OVER w AS _plat,
+         LAG(EPOCH_US({ts_col})) OVER w AS _pts
+  FROM {src}
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})
+),
+e AS (
+  SELECT {user_col}, _id,
+         {sqlgen.mm_from_km_sql(hav)} AS step_mm,
+         CAST(_ts_us - _pts AS BIGINT) AS dt_us
+  FROM v WHERE _plon IS NOT NULL
+)
+SELECT {user_col}, _id AS event_id, step_mm, dt_us,
+       CASE WHEN dt_us > 0
+            THEN ROUND(step_mm * 3600.0 / dt_us, 4) END AS speed_kmh
+FROM e
+WHERE (dt_us > 0 AND ROUND(step_mm * 3600.0 / dt_us, 4) > {max_kmh!r})
+   OR (dt_us <= 0 AND step_mm > 0)
+"""

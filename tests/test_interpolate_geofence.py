@@ -286,3 +286,49 @@ def test_heading_stats_hand_computed(spark):
     plan = heading_stats(ev, "user_id", "ts", "event_id", "lon", "lat") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_tile_flows_hand_computed(spark):
+    """Two users, known tile hops at z1 (tiles are 180° wide): counts
+    and distinct movers per directed pair, self-loop included."""
+    from mapsplit_spark.operators.geometry import tile_flows
+
+    # z1: lon<0 → x=0, lon>0 → x=1; lat>0 → y=0 (north), lat<0 → y=1
+    rows = [
+        (1, 0, 0, -90.0, 40.0),   # (0,0)
+        (1, 1, 1, 90.0, 40.0),    # → (1,0)
+        (1, 2, 2, 91.0, 41.0),    # → (1,0) self-loop
+        (2, 0, 3, -90.0, 40.0),   # (0,0)
+        (2, 1, 4, 90.0, 40.0),    # → (1,0)  (same flow as user 1's first)
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(
+        [(u, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t), i, lo, la)
+         for u, t, i, lo, la in rows],
+        columns=["user_id", "ts", "event_id", "lon", "lat"]))
+    got = {(r.from_x, r.from_y, r.to_x, r.to_y): (r.n_moves, r.n_users)
+           for r in tile_flows(ev, "user_id", "ts", "event_id",
+                               "lon", "lat", zoom=1).collect()}
+    assert got == {(0, 0, 1, 0): (2, 2), (1, 0, 1, 0): (1, 1)}
+
+
+def test_gps_spikes_hand_computed(spark):
+    """A plausible step, a teleport, and a zero-duration move — only
+    the latter two flagged; zero-duration speed is NULL."""
+    from mapsplit_spark.operators.geometry import gps_spikes
+
+    rows = [
+        (1, 0, 0, 10.0, 50.0),
+        (1, 60, 1, 10.01, 50.0),    # ~0.7 km in 1 min → ~43 km/h: fine
+        (1, 120, 2, 40.0, 10.0),    # ~5000 km in 1 min → spike
+        (2, 0, 3, 0.0, 0.0),
+        (2, 0, 4, 1.0, 0.0),        # zero duration, moved → spike
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(
+        [(u, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t), i, lo, la)
+         for u, t, i, lo, la in rows],
+        columns=["user_id", "ts", "event_id", "lon", "lat"]))
+    got = {r.event_id: r for r in gps_spikes(
+        ev, "user_id", "ts", "event_id", "lon", "lat", 1000.0).collect()}
+    assert set(got) == {2, 4}
+    assert got[2].speed_kmh > 1000.0 and got[2].dt_us == 60_000_000
+    assert got[4].speed_kmh is None and got[4].dt_us == 0
