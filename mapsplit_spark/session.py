@@ -35,6 +35,10 @@ def get_spark(app: str = "mapsplit-spark", cores: int | None = None,
         # the Spark default; hot pair-scan expressions are instead kept
         # small by construction (similarity.dot_pair: one dot per pair).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver bench); SPARK_EXTRA_UI=1 turns it on so
+        # bench_extra.py can read per-stage task-time/shuffle-bytes telemetry
+        # from the REST API (guide §7.1) without touching the frozen bench
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_EXTRA_UI") else "false")
         .getOrCreate()
     )
