@@ -225,7 +225,10 @@ def q_tile_bounds(spark, sf_dir):
     """Bordered tile bbox (getBound, MapSplit.java:230-246): per distinct
     modified tile, the border-expanded bbox clamped to world bounds —
     the Bound row each tile file starts with (S6)."""
-    tiles = _event_pairs(spark, sf_dir).select("tile_x", "tile_y").distinct()
+    # same repartition rationale as q_tile_cellid: four bordered-bbox
+    # trig expressions per row above a byte-light distinct
+    tiles = _event_pairs(spark, sf_dir).select("tile_x", "tile_y").distinct() \
+        .repartition(spark.sparkContext.defaultParallelism, "tile_x", "tile_y")
     l = sqlgen.tile2lon_sql("tile_x", ZOOM)
     r = sqlgen.tile2lon_sql("tile_x + 1", ZOOM)
     t = sqlgen.tile2lat_sql("tile_y", ZOOM)
@@ -501,7 +504,13 @@ def q_tile_cellid(spark, sf_dir):
     sqlgen text, parity by construction)."""
     from mapsplit_spark.cellid import morton_col
 
-    tiles = _event_pairs(spark, sf_dir).select("tile_x", "tile_y").distinct()
+    # explicit repartition between the byte-light distinct and the
+    # expensive per-row quadkey string kernel: AQE's byte-sized
+    # coalescing otherwise runs the 13-level string concat on 1-3 tasks
+    # (measured 2× on this gate; exempt-from-coalescing repartition,
+    # r6 guide §2.5)
+    tiles = _event_pairs(spark, sf_dir).select("tile_x", "tile_y").distinct() \
+        .repartition(spark.sparkContext.defaultParallelism, "tile_x", "tile_y")
     return tiles.select(
         "tile_x", "tile_y",
         morton_col(F.col("tile_x"), F.col("tile_y")).alias("morton"),
@@ -546,12 +555,20 @@ def q_session_holefill(spark, sf_dir):
 
     rows = [(gid, x, y) for gid, tiles in RING_GROUPS.items() for x, y in tiles]
     rings = spark.createDataFrame(rows, "group_id long, tile_x long, tile_y long")
-    wt = q_session_tiles(spark, sf_dir).withColumnRenamed("way_id", "group_id")
+    # the way_tiles subtree (join + collect_set aggregate + explode) is
+    # the expensive upstream and fill_holes consumes it three times
+    # (count gate, candidate join, output union) — checkpoint it ONCE
+    # (r6: the plan previously evaluated the ObjectHashAggregate subtree
+    # 3×, ~2/3 of this gate's executor time).  Its output is distinct by
+    # construction → assume_distinct skips the output dedup shuffle.
+    wt = q_session_tiles(spark, sf_dir).withColumnRenamed("way_id", "group_id") \
+        .localCheckpoint(eager=True)
     # ring ids are disjoint from session ids, so the two fills compose by
     # union — keeping the big session path's plan identical to the
     # fixture-free formulation (unioning BEFORE the fill inflated the
     # shuffle partitioning of all three src consumers, measured +60%)
-    out = fill_holes(wt).unionByName(fill_holes(rings))
+    out = fill_holes(wt, assume_distinct=True).unionByName(
+        fill_holes(rings, assume_distinct=True))
     return out.withColumnRenamed("group_id", "way_id")
 
 
@@ -1351,10 +1368,14 @@ def q_point_snap(spark, sf_dir):
     base = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts") \
         .withColumn("rn", F.row_number().over(w))
     verts = base.select(
-        "user_id", "event_id", "rn",
+        "user_id", "event_id", "ts", "rn",
         F.expr(SNAP_VX).alias("vx"), F.expr(SNAP_VY).alias("vy"),
     )
-    wv = Window.partitionBy("user_id").orderBy("rn")
+    # lead() ordered by the SAME (ts, event_id) key as the row_number
+    # window (rn is strictly increasing in it, so the sequence is
+    # identical) — ordering by rn forced a second per-partition sort
+    # between the two Window nodes (r6, guide §2.4)
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
     segs = verts.withColumns({
         "x2": F.lead("vx").over(wv), "y2": F.lead("vy").over(wv),
     }).filter(F.col("x2").isNotNull()).select(
@@ -1365,7 +1386,8 @@ def q_point_snap(spark, sf_dir):
         F.col("event_id").alias("pid"),
         F.expr(SNAP_PLON).alias("lon"), F.expr(SNAP_PLAT).alias("lat"),
     )
-    return snap_to_segments(points, segs, d_km=SNAP_KM)
+    return snap_to_segments(points, segs, d_km=SNAP_KM,
+                            scatter_partitions=spark.sparkContext.defaultParallelism)
 
 
 RASTER_ZOOM = 7  # vector→raster gate: 128×128 global grid
@@ -1394,7 +1416,12 @@ def q_ring_raster(spark, sf_dir):
         r = np.array(vs, dtype=np.float64)
         return (r, (r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()))
 
-    grid = spark.range(n).select(F.col("id").cast("int").alias("x")) \
+    # coalesce the generated grid to a few fat partitions BEFORE the
+    # Arrow PIP kernel: spark.range defaults to one partition per core
+    # (4 rows each here), and every task pays the Python worker + ring
+    # index setup (~0.6 s × 32 tasks of fixed cost measured at sf0.1)
+    grid = spark.range(n).coalesce(4) \
+        .select(F.col("id").cast("int").alias("x")) \
         .withColumn("y", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
     centers = grid.select(
         (F.col("x").cast("long") * n + F.col("y")).alias("cell_id"),

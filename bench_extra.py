@@ -76,7 +76,10 @@ def main() -> None:
 
     qs = entry.queries()
     if not names:
-        names = list(qs)
+        # the two labeled n²-brute-force GATE variants are never benched
+        # (bench.py's exclusion: doc_jaccard_pairs alone is tens of
+        # minutes at sf0.1)
+        names = [n for n in qs if n not in ("doc_jaccard_pairs", "emb_near_dup")]
     # warm pass (JIT/codegen + parquet footers), same as bench.py
     qs["tile_manifest"](spark, sf_dir).limit(1).count()
 

@@ -30,11 +30,20 @@ the corpus.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .assign import assign_tiles
 from .components import connected_components
+
+# cluster_points broadcast guard: dense-cell relations above this row
+# count join by shuffle instead of broadcast (3 longs/row ⇒ the default
+# ~5M rows is ~120 MB built — safely under the 8 GB broadcast cap with
+# headroom on every executor)
+CLUSTER_BROADCAST_MAX_CELLS = int(
+    os.environ.get("SPARK_GRAFT_CLUSTER_BCAST_MAX", "5000000"))
 
 
 def cell_key(tile_x, tile_y, zoom: int):
@@ -122,7 +131,15 @@ def cluster_points(points: DataFrame, id_col: str, lon_col: str,
     cells = assign_tiles(points, id_col, lon_col, lat_col, zoom)
     labelled = grid_clusters(points, id_col, lon_col, lat_col,
                              zoom, min_pts, max_iters)
+    # broadcast-size guard (r6, VERDICT r5 #6): dense-cell cardinality is
+    # data-dependent (urban planet at fine zoom can reach 10⁷-10⁸ rows);
+    # materialize the label relation once, broadcast only when it is
+    # provably small, otherwise fall back to a plain shuffled join on
+    # the tile key.
+    labels = labelled.select("tile_x", "tile_y", "cluster") \
+        .localCheckpoint(eager=True)
+    if labels.count() <= CLUSTER_BROADCAST_MAX_CELLS:
+        labels = F.broadcast(labels)
     return cells.join(
-        F.broadcast(labelled.select("tile_x", "tile_y", "cluster")),
-        ["tile_x", "tile_y"], "left",
+        labels, ["tile_x", "tile_y"], "left",
     ).select(F.col("element_id").alias(id_col), "tile_x", "tile_y", "cluster")

@@ -71,7 +71,13 @@ def _affine_params(num_hashes: int, seed: int = 42):
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 32,
                        id_col: str = "doc_id") -> DataFrame:
     """→ (id, sig: array<long>) — sig[i] = min over shingles of the i-th
-    affine permutation (a_i·h + b_i mod p).  pmod keeps values positive."""
+    affine permutation (a_i·h + b_i mod p).  pmod keeps values positive.
+
+    r6 note: an explode + 32-way partial-agg-min rewrite was A/B'd
+    (same session, values bit-identical) and measured 2× SLOWER at
+    sf0.1 — the per-row agg machinery costs more than the interpreted
+    HOF lambda here because the map-only array form never touches a
+    shuffle.  Kept map-only."""
     a, b = _affine_params(num_hashes)
 
     def perm_min(ai: int, bi: int):

@@ -40,23 +40,40 @@ def compute_zoom_map(counts: dict[tuple[int, int], int], zoom: int,
     the pytest oracle and the tile_merge gate's DuckDB-side remap."""
     if node_limit <= 0:
         return {}
+    # r6: precompute per-level block membership + totals in O(n·levels)
+    # — the previous per-tile sibling enumeration probed up to
+    # 4+16+64+256 = 340 candidate coords per visited tile (z13 inputs
+    # are sparse, so nearly every probe missed; measured as the dominant
+    # cost of the distributed walk).  Build order follows the ascending
+    # packed-key visit order, so each block's member list is already
+    # sorted the way the walk reads it.  Semantics unchanged.
+    keys_sorted = sorted(counts, key=lambda t: (t[0] << 16) | t[1])
+    members: list[dict] = [None] * MAX_ZOOM_OUT_DIFF  # type: ignore[list-item]
+    totals: list[dict] = [None] * MAX_ZOOM_OUT_DIFF  # type: ignore[list-item]
+    for d in range(1, MAX_ZOOM_OUT_DIFF):
+        mem: dict[tuple[int, int], list] = {}
+        tot: dict[tuple[int, int], int] = {}
+        for key in keys_sorted:
+            bk = (key[0] >> d, key[1] >> d)
+            if bk in mem:
+                mem[bk].append(key)
+                tot[bk] += counts[key]
+            else:
+                mem[bk] = [key]
+                tot[bk] = counts[key]
+        members[d] = mem
+        totals[d] = tot
     zoom_map: dict[tuple[int, int], int] = {}
-    for key in sorted(counts, key=lambda t: (t[0] << 16) | t[1]):
+    for key in keys_sorted:
         if key in zoom_map or counts[key] >= node_limit:
             continue
         prev_block = None
         prev_zoom = None
         for d in range(1, MAX_ZOOM_OUT_DIFF):
             new_zoom = zoom - d
-            x0 = (key[0] >> d) << d
-            y0 = (key[1] >> d) << d
-            side = 1 << d
-            block = [
-                (x0 + i, y0 + j)
-                for i in range(side) for j in range(side)
-                if (x0 + i, y0 + j) in counts
-            ]
-            total = sum(counts[t] for t in block)
+            bk = (key[0] >> d, key[1] >> d)
+            block = members[d][bk]
+            total = totals[d][bk]
             if total < 4 * node_limit:
                 if total > node_limit or d == MAX_ZOOM_OUT_DIFF - 1:
                     for t in block:
@@ -118,6 +135,14 @@ def zoom_map_df(counts: DataFrame, zoom: int, node_limit: int,
         "sbx": F.shiftright("tile_x", _SUPER_SHIFT),
         "sby": F.shiftright("tile_y", _SUPER_SHIFT),
     }).withColumn("bucket", F.pmod(F.xxhash64("sbx", "sby"), F.lit(n_buckets)))
+    # the walk is Python-CPU-heavy but byte-light: AQE's byte-sized
+    # coalescing squeezed it into ~3 tasks (measured 6 s of 17 s CPU at
+    # sf0.1).  An EXPLICIT repartition on the group key is exempt from
+    # AQE coalescing and the groupBy below reuses its partitioning, so
+    # the walk runs core-wide at any scale (r6, guide §2.5).
+    n_part = min(n_buckets,
+                 counts.sparkSession.sparkContext.defaultParallelism)
+    bucketed = bucketed.repartition(n_part, "bucket")
     return bucketed.groupBy("bucket").applyInPandas(
         lambda key, pdf: walk_bucket(pdf),
         "mx long, my long, new_zoom int",

@@ -154,12 +154,21 @@ def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
     rel_edges = rel_members.select(
         F.col(group_col).alias("dst"), F.col(member_col).alias("src")
     )
+    # r6: accumulate checkpointed DELTAS and union them lazily — the
+    # previous shape re-checkpointed the whole accumulated relation every
+    # iteration, re-serializing O(total) rows per round (the output here
+    # is ~10× the per-round delta); the anti-join reads the lazy union
+    # of already-materialized blocks instead.
+    parts = [resolved]
     delta = resolved
     for _ in range(max_iters):
-        delta = _semi_naive_step(rel_edges, delta, resolved).localCheckpoint(eager=True)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.union(p)
+        delta = _semi_naive_step(rel_edges, delta, acc).localCheckpoint(eager=True)
         if delta.isEmpty():
-            return resolved
-        resolved = resolved.union(delta).localCheckpoint(eager=True)
+            return acc
+        parts.append(delta)
     raise RuntimeError(
         f"relation fixed point did not converge within max_iters={max_iters} "
         f"(relation nesting deeper than the cap — the reference iterates to "
@@ -181,17 +190,24 @@ def propagate_newer(edges: DataFrame, newer_ids: DataFrame,
     single-column ``element_id``.  → distinct element_id superset.
     """
     newer = newer_ids.select("element_id").distinct().localCheckpoint(eager=True)
+    # r6: same delta-accumulation shape as relation_tiles_fixed_point —
+    # checkpoint only the per-round delta, anti-join against the lazy
+    # union of materialized parts.
+    parts = [newer]
     delta = newer
     for _ in range(max_iters):
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.union(p)
         derived = (
             edges.join(delta, edges["member_id"] == delta["element_id"])
             .select(F.col("group_id").alias("element_id")).distinct()
         )
-        delta = derived.join(newer, "element_id", "left_anti") \
+        delta = derived.join(acc, "element_id", "left_anti") \
             .localCheckpoint(eager=True)
         if delta.isEmpty():
-            return newer
-        newer = newer.union(delta).localCheckpoint(eager=True)
+            return acc
+        parts.append(delta)
     raise RuntimeError(
         f"newer-propagation did not converge within max_iters={max_iters}"
     )

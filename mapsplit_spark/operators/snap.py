@@ -74,7 +74,8 @@ def snap_dist_sql(plon: str, plat: str, ax: str, ay: str,
 
 def snap_to_segments(points: DataFrame, segments: DataFrame, d_km: float,
                      s_deg: float | None = None,
-                     lat_cap: float = 85.06, max_k: int = 64) -> DataFrame:
+                     lat_cap: float = 85.06, max_k: int = 64,
+                     scatter_partitions: int | None = None) -> DataFrame:
     """points(pid, lon, lat) × segments(way_id, seq, x1, y1, x2, y2) →
     (pid, way_id, seq, dist_km): each point's nearest segment with
     metric distance ≤ ``d_km`` (points with no segment in range are
@@ -88,6 +89,15 @@ def snap_to_segments(points: DataFrame, segments: DataFrame, d_km: float,
     ~max_k lattice cells would silently explode to a huge disk, so the
     job ABORTS (raise_error) instead — split such polylines upstream
     (road-scale segments sit at k ≤ 2 for the default lattice).
+
+    ``scatter_partitions``: explicit hash-repartition width for the
+    segment side before the scatter/candidate stage.  The candidate
+    refine is compute-heavy but byte-light, and when the upstream
+    segment relation arrives from a small AQE-coalesced exchange the
+    whole scatter+join+refine inherits its 1-2 tasks (measured: ONE
+    5.4 s task at sf0.1).  Pass e.g. ``defaultParallelism`` when the
+    segment source is small; leave None when it is already wide
+    (r6, guide §2.5).
     """
     d_deg = d_km / KM_PER_DEG
     s = s_deg if s_deg is not None else 2.0 * d_deg
@@ -124,6 +134,8 @@ def snap_to_segments(points: DataFrame, segments: DataFrame, d_km: float,
         "way_id", "seq", "x1", "y1", "x2", "y2",
         hq.alias("hq"), hr.alias("hr"), k_col.alias("k"),
     )
+    if scatter_partitions:
+        seg = seg.repartition(scatter_partitions, "hq", "hr")
     scattered = (
         seg.withColumn("dq", F.explode(F.sequence(-F.col("k"), F.col("k"))))
         .withColumn("dr", F.explode(F.sequence(

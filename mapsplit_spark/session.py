@@ -25,6 +25,14 @@ def get_spark(app: str = "mapsplit-spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing sizes partitions by BYTES; operators that put
+        # expensive per-row compute above a small shuffle instead carry a
+        # targeted explicit repartition (measured r6: a global 64k floor
+        # halved point_snap/tile_cellid but regressed the fragmentation-
+        # sensitive queries 15-30% — per-operator beats global here).
+        # Env knob kept for experiments only; default = Spark default.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION", "1m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NOTE on spark.sql.codegen.hugeMethodLimit: we measured (r4,
         # BASELINE.md "codegen vs JIT") that lowering it to HotSpot's

@@ -108,3 +108,24 @@ def test_dense_edge_plan_has_no_theta_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_points_broadcast_guard_both_arms(spark, monkeypatch):
+    """r6 (VERDICT r5 #6): cluster_points broadcasts the label relation
+    only under the size cap; above it (forced via the cap) the plain
+    join arm must produce identical labels."""
+    import mapsplit_spark.operators.clustering as cl
+
+    zoom = 6
+    points = _blob(10.0, 10.0, 5) + _blob(60.0, -20.0, 4) + [(-120.0, 33.0)]
+    df = _mk_df(spark, points)
+
+    bcast = cl.cluster_points(df, "pid", "lon", "lat", zoom, 3)
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # guarded arm broadcasts
+
+    monkeypatch.setattr(cl, "CLUSTER_BROADCAST_MAX_CELLS", 0)
+    plain = cl.cluster_points(df, "pid", "lon", "lat", zoom, 3)
+    a = {(r.pid, r.tile_x, r.tile_y, r.cluster) for r in bcast.collect()}
+    b = {(r.pid, r.tile_x, r.tile_y, r.cluster) for r in plain.collect()}
+    assert a == b

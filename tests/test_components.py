@@ -76,8 +76,31 @@ def test_cc_non_convergence_is_loud(spark):
     from mapsplit_spark.operators.components import connected_components
 
     chain = [(i, i + 1) for i in range(30)]
+    # driver_max_edges=0 forces the distributed fixpoint (r6: small
+    # graphs otherwise resolve on the driver and never iterate)
     with pytest.raises(RuntimeError, match="not converged"):
-        connected_components(_pairs_df(spark, chain), max_iters=1)
+        connected_components(_pairs_df(spark, chain), max_iters=1,
+                             driver_max_edges=0)
+
+
+def test_cc_driver_path_matches_distributed(spark):
+    """r6: the size-adaptive driver union-find must agree with the
+    distributed min-label fixpoint on the same graphs."""
+    import numpy as np
+
+    from mapsplit_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(23)
+    n = 60
+    edges = {tuple(sorted((int(a), int(b))))
+             for a, b in rng.integers(0, n, (70, 2)) if a != b}
+    edges |= {(500 + i, 501 + i) for i in range(9)}
+    df = _pairs_df(spark, sorted(edges))
+    fast = {(r.v, r.component)
+            for r in connected_components(df).collect()}
+    dist = {(r.v, r.component)
+            for r in connected_components(df, driver_max_edges=0).collect()}
+    assert fast == dist
 
 
 def test_dedup_keep_reduces_corpus(spark):
