@@ -81,6 +81,21 @@ def _event_pairs(spark, sf_dir) -> DataFrame:
     return assign_and_expand(_event_points(spark, sf_dir), "event_id", "lon", "lat", ZOOM, BORDER)
 
 
+def _li_members(spark, sf_dir, offset: int = 0) -> DataFrame:
+    """lineitem way-membership edges, widened: the single-file fixture
+    scan yields ~3 partitions and every downstream join + collect_set
+    aggregate inherits them (the way_tiles partial agg measured 2 s on
+    3 tasks; none/8/16/32-width A/B read 1.7-4.2/1.4-2.0/1.4-1.6/
+    1.5-1.8 s).  Same artifact-or-no-op reasoning as the doc_winnow
+    repartition: at real scale the input is many files and this is a
+    no-op in spirit (r6)."""
+    edges = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") + offset).alias("way_id"),
+        F.expr(NID).alias("member_id"),
+    )
+    return edges.repartition(max(8, spark.sparkContext.defaultParallelism // 2))
+
+
 def _events_nodes_cte() -> str:
     assign = sqlgen.assign_cte_sql(
         "(SELECT event_id, " + EV_LON + " AS lon, " + EV_LAT + " AS lat FROM events) ev",
@@ -153,18 +168,14 @@ def q_session_tiles(spark, sf_dir):
     """J1 + P5 — way tile-set union with drop-if-any-member-missing
     (MapSplit.java:452-511).  Ways ≡ lineitem groups per orderkey,
     member nodes ≡ events rows."""
-    members = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("way_id"), F.expr(NID).alias("member_id")
-    )
+    members = _li_members(spark, sf_dir)
     return way_tiles(members, _event_pairs(spark, sf_dir), "way_id", "member_id")
 
 
 def q_node_backfill(spark, sf_dir):
     """J2 — members inherit their way's full tile set
     (MapSplit.java:506-510); union with the nodes' own tiles."""
-    members = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("way_id"), F.expr(NID).alias("member_id")
-    )
+    members = _li_members(spark, sf_dir)
     # reused subtrees are materialized once — Spark does not reuse
     # non-identical exchanges across branches, and at scale the
     # assignment relation is the expensive side (the pipeline
@@ -313,9 +324,8 @@ def _relation_edges(spark, sf_dir):
     (R2+custkey) contain level-1 relations, level-3 (R3+nationkey)
     contain level-2 — J3 member lookups + the J4 fixed point resolve
     the chain (postProcessRelations, MapSplit.java:772-790)."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") + R1).alias("relation_id"),
-        F.expr(NID).alias("member_id"),
+    li = _li_members(spark, sf_dir, offset=R1).select(
+        F.col("way_id").alias("relation_id"), "member_id",
     )
     od = _t(spark, sf_dir, "orders").select(
         (F.col("o_custkey") + R2).alias("relation_id"),
@@ -350,9 +360,7 @@ def q_complete_rel(spark, sf_dir):
     )
 
     node_tiles = _event_pairs(spark, sf_dir)
-    way_members = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") + R1).alias("way_id"), F.expr(NID).alias("member_id")
-    )
+    way_members = _li_members(spark, sf_dir, offset=R1)
     wt = way_tiles(way_members, node_tiles, "way_id", "member_id")
     rel_members = _t(spark, sf_dir, "orders").filter(
         F.col("o_custkey") < REL_CUST_LIMIT
@@ -382,7 +390,10 @@ def q_complete_rel_mp(spark, sf_dir):
     semantics have their own gate (session_holefill)."""
     from mapsplit_spark.operators.sessions import session_assignments
 
-    li = _t(spark, sf_dir, "lineitem")
+    # widened for the same single-file-scan reason as _li_members (the
+    # collect_list partial agg otherwise runs on the ~3 scan partitions)
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        max(8, spark.sparkContext.defaultParallelism // 2))
     ways = (
         li.groupBy((F.col("l_orderkey") + R1).alias("session_id"))
         .agg(F.collect_list(F.expr(NID)).alias("member_ids"))
@@ -588,9 +599,7 @@ def q_modified_tiles_sessions(spark, sf_dir):
     newer = _t(spark, sf_dir, "events").filter(
         F.col("ts") > F.lit(WATERMARK)
     ).select(F.col("event_id").alias("element_id"))
-    members = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") + R1).alias("way_id"), F.expr(NID).alias("member_id")
-    )
+    members = _li_members(spark, sf_dir, offset=R1)
     node_tiles = _event_pairs(spark, sf_dir)
     wt = way_tiles(members, node_tiles, "way_id", "member_id") \
         .localCheckpoint(eager=True)  # feeds collection tiles + output
@@ -1317,8 +1326,16 @@ def q_points_dwithin(spark, sf_dir):
     quadratic; the engine side takes any DataFrame."""
     from mapsplit_spark.operators.dwithin import dwithin_pairs
 
+    # widen the single-file scan before the grid self-join: the
+    # cell-pair joins broadcast their small sides, so the haversine
+    # refine chain inherits the scan's 1-2 partitions otherwise
+    # (measured: 2 tasks carried 3.9 s of the 4.1 s total).  A QUARTER
+    # of the cores, not all of them — each extra task pays ~0.4 s of
+    # generated-code warmup on this row count, and the interleaved A/B
+    # read none/8/16/32 → 5.0-7.7/2.9-3.8/3.1-4.1/4.5-5.2 s (r6).
     pts = _event_points(spark, sf_dir).filter(
-        F.col("event_id") % DWITHIN_MOD == 0)
+        F.col("event_id") % DWITHIN_MOD == 0
+    ).repartition(max(8, spark.sparkContext.defaultParallelism // 4))
     return dwithin_pairs(pts, "event_id", "lon", "lat", DWITHIN_KM)
 
 

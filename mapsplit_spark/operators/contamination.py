@@ -58,8 +58,11 @@ def contamination_pairs(
     # 9 min — vs 4 s for the winnow pass itself with this checkpoint).
     # It also pins the relation for its four consumers below (df-filter
     # aggregate, its semi-join back, the test/train split sides).
+    # eager: the lazy variant re-entered the (now Arrow) winnow kernel on
+    # its cold first consumer — measured 6.5 s vs 1.8 s first-run at
+    # sf0.1 (r6 A/B); warm runs tie
     fps = _winnow_fps(docs, k, w, id_col, text_col, hash_fn) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     ex = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
     # fps are distinct per doc, so this doc-frequency is exact
     keep = (ex.groupBy("fp").agg(F.count("*").alias("fp_df"))

@@ -82,13 +82,24 @@ def session_assignments(node_tiles: DataFrame, sessions: DataFrame,
     nodes_aug = backfill_member_tiles(ok_edges, wt, node_tiles,
                                       "group_id", "member_id")
 
-    # J3/J4: collections against the post-way state, to fixed point
-    base = nodes_aug.union(way_rel).distinct().localCheckpoint(eager=True)
+    # J3/J4: collections against the post-way state, to fixed point.
+    # nodes_aug is distinct (backfill output) and way_rel is distinct
+    # (way_tiles/fill output); their element-id NAMESPACES are disjoint
+    # by the sessions-table contract (session/collection ids never
+    # collide with point ids — FIXTURES.md), so the union is already
+    # duplicate-free: no distinct shuffle here (r6, guide §2.4
+    # "a distinct on data that is already unique").
+    base = nodes_aug.union(way_rel).localCheckpoint(eager=True)
     col_rel = relation_tiles_fixed_point(
         col_edges.withColumnRenamed("group_id", "relation_id"),
         base, "relation_id", "member_id",
     )
 
+    # col_rel is internally distinct (fixpoint deltas are anti-joined
+    # against the accumulated set) and collection ids are disjoint from
+    # base's node/way ids — base ∪ col_rel needs no dedupe.  Only the
+    # complete-mode down-propagation (inherit/way_aug re-emit tiles
+    # already present in base) requires the final distinct.
     out = base.union(col_rel)
 
     if complete:
@@ -113,5 +124,6 @@ def session_assignments(node_tiles: DataFrame, sessions: DataFrame,
             .select(F.col("member_id").alias("element_id"), "tile_x", "tile_y")
         )
         out = out.union(inherit).union(way_aug)
+        return out.distinct()
 
-    return out.distinct()
+    return out

@@ -187,7 +187,67 @@ def _winnow_fps(docs: DataFrame, k: int, w: int, id_col: str,
     winnowing guarantee (any shared substring of length ≥ w + k − 1
     contributes ≥ 1 common fingerprint) holds for ANY hash function;
     WHICH positions are selected depends on the hash's ordering, so the
-    md5 and xxhash64 variants are not cross-comparable."""
+    md5 and xxhash64 variants are not cross-comparable.
+
+    r6: the md5 (oracle-portable) variant routes through an Arrow
+    kernel — see ``_winnow_fps_md5_arrow``.  Catalyst evaluates
+    higher-order-function lambdas in the INTERPRETED path, and the
+    per-gram md5 inside two nested transforms measured ~25 s of
+    executor CPU per sf0.1 pass; the kernel's hashlib loop is C-speed
+    per call and byte-equal (differential pytest).  The xxhash64
+    production variant stays on the JVM HOF path (cheap long hashes;
+    no xxhash in the Python stdlib)."""
+    if gram_hash is F.md5:
+        return _winnow_fps_md5_arrow(docs, k, w, id_col, text_col)
+    return _winnow_fps_hof(docs, k, w, id_col, text_col, gram_hash)
+
+
+def _winnow_fps_md5_arrow(docs: DataFrame, k: int, w: int, id_col: str,
+                          text_col: str) -> DataFrame:
+    """Arrow fast path for the md5 winnow (guide §4.2): normalization
+    stays a JVM expression (regex/lower semantics must match the
+    oracle's text exactly); Python receives the normalized string and
+    performs ONLY deterministic byte operations — utf-8 md5 per k-gram,
+    sliding lexicographic min over lowercase-hex strings (ASCII, so
+    Python str order ≡ Spark UTF8String binary order), sorted distinct.
+    Only (id, norm) columns cross the boundary."""
+    import pyarrow as pa
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    src = docs.select(F.col(id_col), norm.alias("_norm"))
+    id_type = src.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(0)
+            fps_out = []
+            for s in batch.column(1).to_pylist():
+                if s is None:
+                    # match the JVM HOF path: md5(NULL) → NULL element,
+                    # distinct+sort keep it → a one-element [NULL] array
+                    fps_out.append([None])
+                    continue
+                n_grams = max(len(s) - (k - 1), 1)
+                gh = [md5(s[i:i + k].encode("utf-8")).hexdigest()
+                      for i in range(n_grams)]
+                n_windows = max(len(gh) - (w - 1), 1)
+                mins = {min(gh[j:j + w]) for j in range(n_windows)}
+                fps_out.append(sorted(mins))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fps_out, type=pa.list_(pa.string()))],
+                names=[id_col, "fps"],
+            )
+
+    return src.mapInArrow(kernel, f"{id_col} {id_type}, fps array<string>")
+
+
+def _winnow_fps_hof(docs: DataFrame, k: int, w: int, id_col: str,
+                    text_col: str, gram_hash) -> DataFrame:
+    """JVM higher-order-function winnow body (pre-r6 shape; the
+    xxhash64 production path and the md5 differential-test mirror)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     gram_hashes = F.transform(

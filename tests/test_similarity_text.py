@@ -166,3 +166,27 @@ def test_tfidf_topk(spark):
     again = {(r.doc_id, r.rk): (r.term, r.tf, r.tfidf)
              for r in tfidf_topk(docs.repartition(7), k=3).collect()}
     assert again == rows
+
+
+def test_winnow_arrow_kernel_matches_hof_mirror(spark):
+    """r6: the Arrow md5 winnow kernel must be value-identical to the
+    JVM higher-order-function mirror on edge cases (empty, short, null,
+    multi-space, unicode) and on bulk text."""
+    from pyspark.sql import functions as F
+
+    from mapsplit_spark.operators.textstats import (
+        _winnow_fps_hof,
+        _winnow_fps_md5_arrow,
+    )
+
+    rows = [(1, "hello world this is a test document with words"),
+            (2, ""), (3, "ab"), (4, "   spaced   out   text   "),
+            (5, None), (6, "ünïcode tèxt with ümlauts \U0001F600 chars"),
+            (7, "aaaaa"), (8, "xxx " + "y" * 6)]
+    rows += [(100 + i, f"document body {i} " * 17) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r.fps
+         for r in _winnow_fps_md5_arrow(df, 5, 4, "doc_id", "text").collect()}
+    b = {r.doc_id: r.fps
+         for r in _winnow_fps_hof(df, 5, 4, "doc_id", "text", F.md5).collect()}
+    assert a == b
