@@ -143,32 +143,34 @@ def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
     it with work remaining raises instead of silently returning an
     incomplete tile set.
     """
+    # materialize the edge relation ONCE, hash-partitioned on the join
+    # key: every iteration's derive join (and the initial resolve) would
+    # otherwise re-scan the member sources and re-shuffle the edges per
+    # round (measured: a 0.6-0.7 s edge rebuild stage in EVERY round at
+    # sf0.1; localCheckpoint preserves the partitioning, so rounds read
+    # co-partitioned materialized blocks and shuffle only the delta)
+    rel_edges = rel_members.select(
+        F.col(group_col).alias("dst"), F.col(member_col).alias("src")
+    ).repartition("src").localCheckpoint(eager=True)
     resolved = (
-        rel_members.join(
-            base_tiles, rel_members[member_col] == base_tiles["element_id"]
-        )
-        .select(F.col(group_col).alias("element_id"), "tile_x", "tile_y")
+        rel_edges.join(base_tiles, rel_edges["src"] == base_tiles["element_id"])
+        .select(F.col("dst").alias("element_id"), "tile_x", "tile_y")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    rel_edges = rel_members.select(
-        F.col(group_col).alias("dst"), F.col(member_col).alias("src")
-    )
-    # r6: accumulate checkpointed DELTAS and union them lazily — the
-    # previous shape re-checkpointed the whole accumulated relation every
-    # iteration, re-serializing O(total) rows per round (the output here
-    # is ~10× the per-round delta); the anti-join reads the lazy union
-    # of already-materialized blocks instead.
-    parts = [resolved]
+    # r6 note: a checkpoint-deltas-only variant (anti-join against the
+    # lazy union of materialized parts, avoiding the per-round
+    # re-checkpoint of the accumulated relation) was A/B'd same-session
+    # and measured SLOWER (6.1 vs 5.5 s warm, 11.3 vs 6.5 s cold at
+    # sf0.1) — the accumulated checkpoint is what keeps the per-round
+    # anti-join and every downstream consumer reading one compact
+    # materialized relation.  Kept the r5 shape.
     delta = resolved
     for _ in range(max_iters):
-        acc = parts[0]
-        for p in parts[1:]:
-            acc = acc.union(p)
-        delta = _semi_naive_step(rel_edges, delta, acc).localCheckpoint(eager=True)
+        delta = _semi_naive_step(rel_edges, delta, resolved).localCheckpoint(eager=True)
         if delta.isEmpty():
-            return acc
-        parts.append(delta)
+            return resolved
+        resolved = resolved.union(delta).localCheckpoint(eager=True)
     raise RuntimeError(
         f"relation fixed point did not converge within max_iters={max_iters} "
         f"(relation nesting deeper than the cap — the reference iterates to "
@@ -190,24 +192,17 @@ def propagate_newer(edges: DataFrame, newer_ids: DataFrame,
     single-column ``element_id``.  → distinct element_id superset.
     """
     newer = newer_ids.select("element_id").distinct().localCheckpoint(eager=True)
-    # r6: same delta-accumulation shape as relation_tiles_fixed_point —
-    # checkpoint only the per-round delta, anti-join against the lazy
-    # union of materialized parts.
-    parts = [newer]
     delta = newer
     for _ in range(max_iters):
-        acc = parts[0]
-        for p in parts[1:]:
-            acc = acc.union(p)
         derived = (
             edges.join(delta, edges["member_id"] == delta["element_id"])
             .select(F.col("group_id").alias("element_id")).distinct()
         )
-        delta = derived.join(acc, "element_id", "left_anti") \
+        delta = derived.join(newer, "element_id", "left_anti") \
             .localCheckpoint(eager=True)
         if delta.isEmpty():
-            return acc
-        parts.append(delta)
+            return newer
+        newer = newer.union(delta).localCheckpoint(eager=True)
     raise RuntimeError(
         f"newer-propagation did not converge within max_iters={max_iters}"
     )
