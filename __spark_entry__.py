@@ -175,7 +175,12 @@ def q_session_tiles(spark, sf_dir):
 def q_node_backfill(spark, sf_dir):
     """J2 — members inherit their way's full tile set
     (MapSplit.java:506-510); union with the nodes' own tiles."""
-    members = _li_members(spark, sf_dir)
+    # NOT _li_members: members feeds three consumers here (way_tiles,
+    # the ok-ways semi-join, the backfill join) and each would re-run
+    # the widening shuffle — A/B'd slower (3.1 vs 2.7 s warm)
+    members = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"), F.expr(NID).alias("member_id")
+    )
     # reused subtrees are materialized once — Spark does not reuse
     # non-identical exchanges across branches, and at scale the
     # assignment relation is the expensive side (the pipeline
@@ -324,8 +329,9 @@ def _relation_edges(spark, sf_dir):
     (R2+custkey) contain level-1 relations, level-3 (R3+nationkey)
     contain level-2 — J3 member lookups + the J4 fixed point resolve
     the chain (postProcessRelations, MapSplit.java:772-790)."""
-    li = _li_members(spark, sf_dir, offset=R1).select(
-        F.col("way_id").alias("relation_id"), "member_id",
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") + R1).alias("relation_id"),
+        F.expr(NID).alias("member_id"),
     )
     od = _t(spark, sf_dir, "orders").select(
         (F.col("o_custkey") + R2).alias("relation_id"),
@@ -360,7 +366,12 @@ def q_complete_rel(spark, sf_dir):
     )
 
     node_tiles = _event_pairs(spark, sf_dir)
-    way_members = _li_members(spark, sf_dir, offset=R1)
+    # plain members: consumed by way_tiles AND the pass-2 way_aug join
+    # (the widening shuffle would run per consumer — the node_backfill
+    # finding)
+    way_members = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") + R1).alias("way_id"), F.expr(NID).alias("member_id")
+    )
     wt = way_tiles(way_members, node_tiles, "way_id", "member_id")
     rel_members = _t(spark, sf_dir, "orders").filter(
         F.col("o_custkey") < REL_CUST_LIMIT
@@ -390,10 +401,9 @@ def q_complete_rel_mp(spark, sf_dir):
     semantics have their own gate (session_holefill)."""
     from mapsplit_spark.operators.sessions import session_assignments
 
-    # widened for the same single-file-scan reason as _li_members (the
-    # collect_list partial agg otherwise runs on the ~3 scan partitions)
-    li = _t(spark, sf_dir, "lineitem").repartition(
-        max(8, spark.sparkContext.defaultParallelism // 2))
+    # NOT widened: the collect_list groupBy shuffles the relation anyway,
+    # so a pre-repartition is a pure extra exchange (A/B'd: +1 s)
+    li = _t(spark, sf_dir, "lineitem")
     ways = (
         li.groupBy((F.col("l_orderkey") + R1).alias("session_id"))
         .agg(F.collect_list(F.expr(NID)).alias("member_ids"))
@@ -599,7 +609,11 @@ def q_modified_tiles_sessions(spark, sf_dir):
     newer = _t(spark, sf_dir, "events").filter(
         F.col("ts") > F.lit(WATERMARK)
     ).select(F.col("event_id").alias("element_id"))
-    members = _li_members(spark, sf_dir, offset=R1)
+    # NOT _li_members: members feeds way_tiles AND the closure edge set —
+    # the widening shuffle would run twice (A/B'd slower, 3.1 vs 2.5 s)
+    members = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") + R1).alias("way_id"), F.expr(NID).alias("member_id")
+    )
     node_tiles = _event_pairs(spark, sf_dir)
     wt = way_tiles(members, node_tiles, "way_id", "member_id") \
         .localCheckpoint(eager=True)  # feeds collection tiles + output

@@ -143,15 +143,15 @@ def relation_tiles_fixed_point(rel_members: DataFrame, base_tiles: DataFrame,
     it with work remaining raises instead of silently returning an
     incomplete tile set.
     """
-    # materialize the edge relation ONCE, hash-partitioned on the join
-    # key: every iteration's derive join (and the initial resolve) would
-    # otherwise re-scan the member sources and re-shuffle the edges per
-    # round (measured: a 0.6-0.7 s edge rebuild stage in EVERY round at
-    # sf0.1; localCheckpoint preserves the partitioning, so rounds read
-    # co-partitioned materialized blocks and shuffle only the delta)
+    # r6 A/B note: materializing the edge relation once (repartition on
+    # src + eager localCheckpoint, so iterations skip the per-round
+    # re-scan/re-shuffle) measured SLOWER at sf0.1 for both gate callers
+    # (+0.3-0.5 s — the checkpoint round-trip exceeds the cheap re-scan
+    # of small fixture edges); callers with a genuinely expensive edge
+    # subtree should checkpoint rel_members themselves before calling.
     rel_edges = rel_members.select(
         F.col(group_col).alias("dst"), F.col(member_col).alias("src")
-    ).repartition("src").localCheckpoint(eager=True)
+    )
     resolved = (
         rel_edges.join(base_tiles, rel_edges["src"] == base_tiles["element_id"])
         .select(F.col("dst").alias("element_id"), "tile_x", "tile_y")
