@@ -1124,7 +1124,9 @@ def q_tile_focal(spark, sf_dir):
     from mapsplit_spark.operators.focal import focal_sum
     from mapsplit_spark.sinks.manifests import tile_counts
 
-    return focal_sum(tile_counts(_event_pairs(spark, sf_dir)), ZOOM, radius=1)
+    return focal_sum(
+        tile_counts(_event_pairs(spark, sf_dir)), ZOOM, radius=1,
+        scatter_partitions=max(8, spark.sparkContext.defaultParallelism // 4))
 
 
 def q_event_geohash(spark, sf_dir):
@@ -1192,7 +1194,13 @@ def q_term_cms(spark, sf_dir):
     from mapsplit_spark.operators.sketches import cms_query, cms_sketch
     from mapsplit_spark.operators.textstats import TFIDF_TOKEN_RE
 
-    docs = _t(spark, sf_dir, "documents")
+    # widened: the tokenization subtree feeds THREE consumers (sketch,
+    # probes, exact counts) and each ran as a single task off the
+    # single-file scan (three concurrent 1.5-2.8 s stages; A/B none/8 →
+    # 1.7-4.0/1.0-1.8 s).  Same artifact-or-no-op reasoning as
+    # q_doc_winnow's repartition (r6).
+    docs = _t(spark, sf_dir, "documents").repartition(
+        max(8, spark.sparkContext.defaultParallelism // 4))
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1511,11 +1519,13 @@ def q_tile_idw(spark, sf_dir):
     offsets cross join) with shared weight/haversine text."""
     from mapsplit_spark.operators.interpolate import idw_grid
 
+    # widened: the scatter + exact-integer-quantized partial agg ran on
+    # the 1-2 single-file scan partitions (A/B none/8 → 1.6-3.1/1.1-1.9 s)
     pts = _t(spark, sf_dir, "events").select(
         "event_id",
         F.expr(EV_LON).alias("lon"), F.expr(EV_LAT).alias("lat"),
         "value",
-    )
+    ).repartition(max(8, spark.sparkContext.defaultParallelism // 4))
     return idw_grid(pts, "event_id", "lon", "lat", "value",
                     RASTER_ZOOM, radius=1)
 

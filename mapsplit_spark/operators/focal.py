@@ -36,13 +36,22 @@ from pyspark.sql import functions as F
 
 def focal_sum(counts: DataFrame, zoom: int, radius: int = 1,
               x_col: str = "tile_x", y_col: str = "tile_y",
-              val_col: str = "n") -> DataFrame:
+              val_col: str = "n",
+              scatter_partitions: int | None = None) -> DataFrame:
     """(tile_x, tile_y, value) → (tile_x, tile_y, focal_sum, n_contrib):
     the box-kernel neighborhood sum at Chebyshev radius ``radius``,
     grid-clamped at the zoom's edges.  One exchange; fan-out (2r+1)²
-    is map-side."""
+    is map-side.
+
+    ``scatter_partitions``: explicit width for the scatter+partial-agg
+    stage — when ``counts`` arrives from a small AQE-coalesced
+    aggregation exchange the whole (2r+1)² fan-out otherwise runs as
+    1-2 tasks (measured 1.6 s of the gate's 1.5 s single-task stage at
+    sf0.1; r6 guide §2.5).  Leave None when the input is already wide."""
     if radius < 0:
         raise ValueError(f"radius must be ≥ 0, got {radius}")
+    if scatter_partitions:
+        counts = counts.repartition(scatter_partitions, x_col, y_col)
     n = 1 << zoom
     offs = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
