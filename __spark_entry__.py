@@ -651,9 +651,13 @@ def q_tile_pyramid(spark, sf_dir):
     unioned (portable integer arithmetic)."""
     from mapsplit_spark.operators.pyramid import pyramid_counts
 
-    return pyramid_counts(
-        _event_pairs(spark, sf_dir), ZOOM, PYRAMID_MIN_ZOOM, assume_distinct=True
-    )
+    # widened: the 5-level map-side fan-out + partial dedupe otherwise
+    # runs on the 1-2 single-file scan partitions (A/B none/8 →
+    # 1.7-3.8/1.4-2.3 s)
+    pts = _event_points(spark, sf_dir).repartition(
+        max(8, spark.sparkContext.defaultParallelism // 4))
+    pairs = assign_and_expand(pts, "event_id", "lon", "lat", ZOOM, BORDER)
+    return pyramid_counts(pairs, ZOOM, PYRAMID_MIN_ZOOM, assume_distinct=True)
 
 
 def q_doc_token_stats(spark, sf_dir):
